@@ -1,0 +1,171 @@
+"""Grid-cell functions in three synchronized dialects.
+
+1. **Spark Column expressions** (`*_expr`) — pure integer Catalyst
+   expressions, whole-stage-codegen'd; this is the hot path for cell
+   assignment at 100 TB (no Python at all).
+2. **ANSI SQL strings** (`*_sql`) — the *same* formulas for the DuckDB
+   correctness oracle.
+3. **Arrow pandas UDFs** (`cell_id_udf`, …) — the vectorized-UDF path
+   mandated by the north rule, used where the geometry genuinely needs
+   numpy (polygon polyfill, ray-cast refine, rasterization) and as a
+   parity check against the expression path. Batch-in/batch-out, no
+   per-row Python — the contract of the reference's span callbacks
+   (/root/reference/include/inputosm/inputosm.h:92-96).
+
+All three implement the identical integer math in `inputosm_spark.geo`.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from inputosm_spark import geo
+
+# ---------------------------------------------------------------------------
+# Column expressions (Catalyst / codegen path)
+# ---------------------------------------------------------------------------
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def cell_x_expr(lon_e4: Column | str, res: int) -> Column:
+    nx = 2 ** (res + 1)
+    x = F.floor(
+        ((_col(lon_e4) + F.lit(geo.LON_MAX_E4)) * F.lit(nx)) / F.lit(2 * geo.LON_MAX_E4)
+    )
+    return F.pmod(x, F.lit(nx)).cast("long")
+
+
+def cell_y_expr(lat_e4: Column | str, res: int) -> Column:
+    ny = 2**res
+    y = F.floor(
+        ((_col(lat_e4) + F.lit(geo.LAT_MAX_E4)) * F.lit(ny)) / F.lit(2 * geo.LAT_MAX_E4)
+    )
+    return F.least(y, F.lit(ny - 1)).cast("long")
+
+
+def cell_id_expr(lat_e4: Column | str, lon_e4: Column | str, res: int) -> Column:
+    """Packed cell id — mirrors geo.cell_id exactly."""
+    x = F.floor(
+        ((_col(lon_e4) + F.lit(geo.LON_MAX_E4)) * F.lit(2 ** (res + 1)))
+        / F.lit(2 * geo.LON_MAX_E4)
+    )
+    x = F.pmod(x, F.lit(2 ** (res + 1)))
+    y = cell_y_expr(lat_e4, res)
+    return (
+        F.lit(res).cast("long") * F.lit(1 << geo._RES_SHIFT)
+        + y * F.lit(1 << geo._Y_SHIFT)
+        + x
+    ).cast("long")
+
+
+def point_exprs(id_col: Column | str) -> tuple[Column, Column]:
+    """(lat_e4, lon_e4) Columns from an integer id — geo.point_from_id."""
+    i = F.pmod(_col(id_col).cast("long"), F.lit(geo.HASH_MOD))
+    lat = F.pmod(i * F.lit(geo.HASH_MUL_LAT), F.lit(2 * geo.LAT_MAX_E4)) - F.lit(
+        geo.LAT_MAX_E4
+    )
+    lon = F.pmod(
+        F.pmod(i * F.lit(geo.HASH_MUL_LON) + F.lit(geo.HASH_ADD_LON), F.lit(geo.HASH_MOD_LON)),
+        F.lit(2 * geo.LON_MAX_E4),
+    ) - F.lit(geo.LON_MAX_E4)
+    return lat.cast("long").alias("lat_e4"), lon.cast("long").alias("lon_e4")
+
+
+def kring_expr(lat_e4: Column | str, lon_e4: Column | str, res: int, k: int = 1) -> Column:
+    """Array of (2k+1)^2 neighbor cell ids (lon wraps, pole rows dropped).
+
+    Pure Catalyst: builds the offset grid with `sequence` + `transform`
+    + `flatten`, filters pole fall-off with `filter`. No Python.
+    """
+    nx, ny = 2 ** (res + 1), 2**res
+    x = F.pmod(
+        F.floor(
+            ((_col(lon_e4) + F.lit(geo.LON_MAX_E4)) * F.lit(nx)) / F.lit(2 * geo.LON_MAX_E4)
+        ),
+        F.lit(nx),
+    )
+    y = cell_y_expr(lat_e4, res)
+    offs = F.sequence(F.lit(-k), F.lit(k))
+    pairs = F.flatten(
+        F.transform(offs, lambda dy: F.transform(offs, lambda dx: F.struct(dy.alias("dy"), dx.alias("dx"))))
+    )
+    valid = F.filter(pairs, lambda p: ((y + p.dy) >= 0) & ((y + p.dy) < ny))
+    return F.transform(
+        valid,
+        lambda p: F.lit(res).cast("long") * F.lit(1 << geo._RES_SHIFT)
+        + (y + p.dy) * F.lit(1 << geo._Y_SHIFT)
+        + F.pmod(x + p.dx, F.lit(nx)),
+    )
+
+
+def dist2_expr(lat1, lon1, lat2, lon2) -> Column:
+    dlat = _col(lat1) - _col(lat2)
+    dlon = _col(lon1) - _col(lon2)
+    return (dlat * dlat + dlon * dlon).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# SQL dialect (DuckDB oracle) — same math as the expressions above
+# ---------------------------------------------------------------------------
+
+
+def point_sql(id_expr: str) -> tuple[str, str]:
+    """(lat_e4, lon_e4) SQL fragments for DuckDB — geo.point_from_id."""
+    i = f"(({id_expr}) % {geo.HASH_MOD})"
+    lat = f"(({i} * {geo.HASH_MUL_LAT}) % {2 * geo.LAT_MAX_E4} - {geo.LAT_MAX_E4})"
+    lon = (
+        f"((({i} * {geo.HASH_MUL_LON} + {geo.HASH_ADD_LON}) % {geo.HASH_MOD_LON})"
+        f" % {2 * geo.LON_MAX_E4} - {geo.LON_MAX_E4})"
+    )
+    return lat, lon
+
+
+def cell_id_sql(lat_sql: str, lon_sql: str, res: int) -> str:
+    nx, ny = 2 ** (res + 1), 2**res
+    x = f"(((({lon_sql}) + {geo.LON_MAX_E4}) * {nx}) // {2 * geo.LON_MAX_E4} % {nx})"
+    y = f"least(((({lat_sql}) + {geo.LAT_MAX_E4}) * {ny}) // {2 * geo.LAT_MAX_E4}, {ny - 1})"
+    return f"({res} * {1 << geo._RES_SHIFT} + {y} * {1 << geo._Y_SHIFT} + {x})"
+
+
+def cell_xy_sql(lat_sql: str, lon_sql: str, res: int) -> tuple[str, str]:
+    nx, ny = 2 ** (res + 1), 2**res
+    x = f"(((({lon_sql}) + {geo.LON_MAX_E4}) * {nx}) // {2 * geo.LON_MAX_E4} % {nx})"
+    y = f"least(((({lat_sql}) + {geo.LAT_MAX_E4}) * {ny}) // {2 * geo.LAT_MAX_E4}, {ny - 1})"
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# Arrow pandas UDFs (vectorized Python path)
+# ---------------------------------------------------------------------------
+
+
+def make_cell_id_udf(res: int):
+    """pandas UDF: (lat_e4, lon_e4) -> cell id. numpy inside, Arrow I/O."""
+
+    @F.pandas_udf(LongType())
+    def _cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(geo.cell_id(lat.to_numpy(), lon.to_numpy(), res))
+
+    return _cell
+
+
+def make_point_udf():
+    """pandas UDF: id -> struct-free pair via two calls (lat path)."""
+
+    @F.pandas_udf(LongType())
+    def _lat(ids: pd.Series) -> pd.Series:
+        lat, _ = geo.point_from_id(ids.to_numpy())
+        return pd.Series(lat)
+
+    @F.pandas_udf(LongType())
+    def _lon(ids: pd.Series) -> pd.Series:
+        _, lon = geo.point_from_id(ids.to_numpy())
+        return pd.Series(lon)
+
+    return _lat, _lon

@@ -1,0 +1,32 @@
+"""Table loading — the analog of the reference's file-type dispatch
+(`input_file`, /root/reference/src/inputosm.cpp:37-94): route a logical
+table name to the right physical reader. Reading only the tables a
+query touches is the Spark analog of the reference's handler-null
+stream pruning (/root/reference/src/inputosmpbf.cpp:650,657,673).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Dispatch by what exists: Iceberg table > parquet file > directory."""
+    pq = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.exists(pq):
+        return spark.read.parquet(pq)
+    d = os.path.join(sf_dir, name)
+    if os.path.isdir(d):
+        return spark.read.parquet(d)
+    # fall through to a catalog table (Iceberg path when jar present)
+    return spark.read.table(name)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
