@@ -1,0 +1,211 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash + LSH banding, SimHash, and n-gram
+Jaccard verification — all as declarative DataFrame plans over
+built-in JVM functions (md5 / xxhash64 / explode / groupBy), so the
+hot path is whole-stage-codegen'd; no Python in any of them.
+
+Design notes for 100 TB: every variant reduces to (1) a narrow
+per-row signature projection, (2) an equi-join / groupBy on the
+signature — the classic shuffle-minimal shape. Candidate pairs are
+generated per LSH band bucket (bounded by bucket size), then verified
+with an exact Jaccard join only on candidates.
+
+MinHash here uses the "min of a keyed cryptographic hash" form:
+sig_i(doc) = min over shingles s of md5(i || s). md5 is available in
+both Spark and DuckDB, which makes every stage oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col) -> F.Column:
+    """Canonical text form for exact dedup: lowercase, collapse
+    whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dups(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text.
+
+    Returns (fingerprint, n_dups, doc_ids) for groups with >1 member.
+    The groupBy(md5) is a single shuffle of (16-byte key, id) — the
+    cheapest possible exact dedup at scale (never shuffles the text).
+    """
+    fp = documents.select(
+        F.col("doc_id"), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def word_shingles(documents: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows: word n-grams of normalized text.
+
+    Column-only: split -> transform(sequence) -> explode; distinct
+    within doc via the grouped min later (shingles are a set).
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+    return documents.select("doc_id", F.explode(grams).alias("shingle")).distinct()
+
+
+def minhash_signatures(
+    shingled: DataFrame, n_hashes: int = 8
+) -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}): MinHash signature columns.
+
+    One shuffle (groupBy doc_id); each hash family member is
+    md5(seed || shingle) and the per-doc min is taken — all JVM-side.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))).alias(
+            f"sig_{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band.
+
+    Band value = concat of its signature rows; docs bucketed per
+    (band_idx, band_value); pairs emitted within buckets via a
+    self-equi-join on the bucket key (never a cross join), distinct
+    across bands. doc_a < doc_b canonical order.
+    """
+    bands = []
+    for b in range(n_bands):
+        cols = [
+            F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        bands.append(
+            signatures.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *cols).alias("band_val"),
+            )
+        )
+    bucketed = bands[0]
+    for extra in bands[1:]:
+        bucketed = bucketed.unionAll(extra)
+    left = bucketed.alias("a")
+    right = bucketed.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, shingled: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only.
+
+    |A∩B| via an equi-join on shingle restricted to candidate pairs;
+    |A∪B| = |A|+|B|-|A∩B|. Returns pairs with jaccard >= threshold.
+    Cost scales with candidate count, not corpus size squared.
+    """
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+_HEX = "0123456789abcdef"
+#: hex char -> value map (Column expr); md5-hex digits provide the
+#: token hash bits so SimHash is reproducible in any engine with md5.
+def _hex_digit(c) -> F.Column:
+    m = F.create_map(*[x for d, ch in enumerate(_HEX) for x in (F.lit(ch), F.lit(d))])
+    return F.element_at(m, c)
+
+
+def simhash(documents: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over unigram tokens.
+
+    Token hash bit j = bit (j%4) of the (j//4)-th md5 hex digit of the
+    token — engine-neutral (md5 exists in Spark and DuckDB), unlike
+    xxhash64. Signature bit j is 1 iff sum over distinct tokens of
+    (+1 / -1 by hash bit) > 0. Declarative: explode tokens -> explode
+    bit positions -> two-level groupBy, narrow rows only.
+    """
+    tokens = documents.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).distinct()
+    # bit j of the token hash = (hexdigit(j//4) // 2^(j%4)) % 2 —
+    # shift-by-column isn't a Spark builtin, so divide by a looked-up
+    # power of two (exact small-int math, same formula in the oracle)
+    pow2 = F.element_at(
+        F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8)),
+        (F.pmod("bit", F.lit(4)) + 1).cast("int"),
+    )
+    digit = _hex_digit(
+        F.col("h").substr((F.col("bit") / 4).cast("int") + 1, F.lit(1))
+    )
+    per_bit = tokens.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.md5("tok").alias("h"),
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(F.pmod(F.floor(digit / pow2), F.lit(2)) == 1, 1)
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    return (
+        per_bit.groupBy("doc_id", "bit")
+        .agg(F.sum("sign").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
+                ).otherwise(0)
+            ).alias("simhash")
+        )
+    )

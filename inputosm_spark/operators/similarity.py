@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline; random-hyperplane
+LSH bucketing as the scale path (candidates only within matching
+buckets). Dot products run JVM-side via zip_with/aggregate — no
+Python; the LSH hyperplanes are deterministic (derived from xxhash64
+of the dimension index), so results are reproducible and the bucket
+assignment is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(a) -> F.Column:
+    # float32 arithmetic differs across engines; promote once, up front
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    qid_col: str = "vec_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 4,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the (small) query set,
+    scan the corpus once, window top-k per query.
+
+    Cosine is rounded to `round_scale` decimals *before* ranking and
+    ties broken by corpus id, making the ranking a total order that is
+    engine-independent (floats only differ across engines below the
+    rounding scale).
+    """
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+        _norm(_as_double(F.col(vec_col))).alias("qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        _as_double(F.col(vec_col)).alias("cvec"),
+        _norm(_as_double(F.col(vec_col))).alias("cnorm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+                round_scale,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("nid").alias("neighbor_id"), "cos", "rank")
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH signature (SimHash for embeddings).
+
+    Plane p's normal has ±1 component on dimension d with sign from a
+    deterministic modular hash ((p*2654435761 + d*40503) % 97) % 2 —
+    plain integer math, so the bucketing replays identically in any
+    SQL engine (the oracle). Signature bit p = [sum_d w_pd * v_d > 0].
+    """
+    sig = F.lit(0).cast("long")
+    vec = _as_double(F.col(vec_col))
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec_col) - 1),
+                    lambda d: F.when(
+                        F.pmod(
+                            F.pmod(d * F.lit(40503) + F.lit(p * 2654435761), F.lit(97)),
+                            F.lit(2),
+                        )
+                        == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda v, w: v * w,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(0)
+    return df.select(F.col(id_col).alias("vec_id"), sig.alias("lsh_sig"))
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_planes: int = 8,
+    round_scale: int = 4,
+) -> DataFrame:
+    """Approximate NN: exact cosine ranking restricted to the LSH
+    bucket (equi-join on signature). At 100 TB this replaces the
+    brute-force crossJoin with a shuffle join on a 64-bit key; recall
+    is tuned via n_planes (fewer planes -> bigger buckets).
+    """
+    qs = hyperplane_signature(queries, n_planes).withColumnRenamed("vec_id", "qid")
+    cs = hyperplane_signature(corpus, n_planes).withColumnRenamed("vec_id", "nid")
+    q = queries.select(
+        F.col("vec_id").alias("qid"), _as_double(F.col("embedding")).alias("qvec"),
+        _norm(_as_double(F.col("embedding"))).alias("qnorm"),
+    ).join(qs, "qid")
+    c = corpus.select(
+        F.col("vec_id").alias("nid"), _as_double(F.col("embedding")).alias("cvec"),
+        _norm(_as_double(F.col("embedding"))).alias("cnorm"),
+    ).join(cs, "nid")
+    scored = (
+        q.join(c, "lsh_sig")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+                round_scale,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("nid").alias("neighbor_id"), "cos", "rank")
+    )

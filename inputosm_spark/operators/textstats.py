@@ -1,0 +1,122 @@
+"""Text analysis operators: token counting, quality scoring,
+language-ID heuristic, document fingerprinting. All built-in column
+functions (regexp / split / aggregate) — zero Python in the hot path,
+every one oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic (public-knowledge common words)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def token_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate + char classes.
+
+    Subword estimate: words plus extra splits at letter/digit
+    boundaries and every ~4 chars of long words (a cheap, deterministic
+    BPE proxy; exact column math).
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.when(F.length(F.trim(t)) == 0, 0).otherwise(F.size(words))
+    n_chars = F.length(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[\p{Punct}]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    # BPE-ish: every word contributes ceil(len/4) subword units
+    n_subwords = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+    return documents.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_subwords.alias("n_subwords"),
+        n_chars.cast("long").alias("n_chars_m"),
+        n_punct.cast("long").alias("n_punct"),
+        n_digit.cast("long").alias("n_digit"),
+    )
+
+
+def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + punctuation
+    ratio + stopword hit ratio + mean word length band. Deterministic,
+    rounded to 4 decimals for engine-neutral hashing.
+    """
+    t = F.lower(F.col(text_col))
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    punct_ratio = (
+        n_chars - F.length(F.regexp_replace(t, r"[\p{Punct}]", ""))
+    ) / n_chars
+    all_stops = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(all_stops))
+    )
+    stop_ratio = stop_hits / n_words
+    mean_word_len = (F.length(F.regexp_replace(t, r"\s+", ""))) / n_words
+    len_band = (
+        F.when(F.col("n_chars").between(100, 5000), 1.0)
+        .when(F.col("n_chars") < 100, F.col("n_chars") / 100.0)
+        .otherwise(5000.0 / F.col("n_chars"))
+    )
+    word_band = F.when(mean_word_len.between(3, 10), 1.0).otherwise(0.5)
+    score = (
+        0.4 * len_band
+        + 0.2 * word_band
+        + 0.2 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.2 * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return documents.select(
+        "doc_id",
+        F.round(score, 4).alias("quality"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+    )
+
+
+def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: score = count of marker-word hits
+    per language; argmax wins, ties broken by language code; 'und' when
+    no marker hits at all.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    scores = [
+        F.size(F.filter(words, lambda w: w.isin(ms))).alias(f"score_{lang}")
+        for lang, ms in sorted(LANG_MARKERS.items())
+    ]
+    df = documents.select("doc_id", *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties -> apply last wins first
+        pred = F.when((best > 0) & (F.col(f"score_{lg}") == best), F.lit(lg)).otherwise(
+            pred
+        )
+    return df.select("doc_id", pred.alias("lang_pred"),
+                     *[f"score_{lg}" for lg in langs])
+
+
+def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling-hash-style document fingerprint: md5 over the normalized
+    text plus a coarse 'structure' key (word count band) — used as the
+    join key for exact dedup and incremental re-ingest lineage.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.xxhash64(norm).alias("fp_xx64"),
+        (F.floor(F.size(F.split(norm, " ")) / 10) * 10).cast("long").alias("len_band"),
+    )

@@ -1,0 +1,68 @@
+"""Corpus layout policy for the 10^12-document design point.
+
+north_rule: "explicit range/hash partitioning of the corpus".
+The layout is:
+
+* **hash dimension**: `bucket = pmod(xxhash64(doc_id), n_buckets)` —
+  co-locates every per-doc operation (dedup fingerprint joins, span
+  reassembly) without a shuffle once tables are written bucketed.
+* **range dimension**: `cell_prefix = cell at coarse res (default 3)`
+  — partition pruning for spatial queries (a PIP/kNN query touching a
+  region reads only its prefix partitions).
+
+With Iceberg: `PARTITIONED BY (bucket(n, doc_id), cell_prefix)` and
+the same policy lives in table metadata. Parquet fallback: directory
+partitioning by cell_prefix + stable bucket column (Spark can't
+bucket-write plain parquet files with .partitionBy alone, so the
+bucket is materialized as a column and joins co-locate via
+repartition on it).
+
+Sizing guidance (100 TB corpus, ~100 KB/doc -> 10^9 rows/bucket at
+n_buckets=1024 is too coarse; target <= 1 GB per file):
+n_buckets = corpus_bytes / (cells_per_prefix * 512 MB). The default
+256 suits the test scales; bench.py overrides via env.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inputosm_spark.functions import cells
+
+DEFAULT_BUCKETS = 256
+DEFAULT_PREFIX_RES = 3
+
+
+def with_layout_columns(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lat_col: str = "lat_e4",
+    lon_col: str = "lon_e4",
+    n_buckets: int = DEFAULT_BUCKETS,
+    prefix_res: int = DEFAULT_PREFIX_RES,
+) -> DataFrame:
+    """Attach (bucket, cell_prefix) layout columns."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+    ).withColumn("cell_prefix", cells.cell_id_expr(lat_col, lon_col, prefix_res))
+
+
+def write_corpus(df: DataFrame, path: str, n_files_per_partition: int = 1) -> None:
+    """Materialize with the layout: directory-partitioned by
+    cell_prefix, files clustered by bucket (repartition on both so each
+    task writes one coherent file per (prefix, bucket-group))."""
+    (
+        df.repartition(F.col("cell_prefix"), F.col("bucket"))
+        .sortWithinPartitions("bucket", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_prefix")
+        .parquet(path)
+    )
+
+
+def explain_pruning(spark, path: str, prefix_values: list[int]) -> str:
+    """Read back with a prefix filter and return the physical plan —
+    used by tests to assert partition pruning actually happens."""
+    df = spark.read.parquet(path).filter(F.col("cell_prefix").isin(prefix_values))
+    return df._jdf.queryExecution().executedPlan().toString()

@@ -305,3 +305,699 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell5")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
     )
+
+
+# ===========================================================================
+# BATCH 2 — spatial joins, tiling, skew, dedup, text, similarity, CDC
+# ===========================================================================
+
+from inputosm_spark import geo  # noqa: E402
+from inputosm_spark.operators import dedup, similarity, skew, spatial, textstats  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
+
+# --- deterministic box polygons shared between engine and oracle ----------
+
+_N_BOXES = 12
+_BOX_SQL = f"""
+    SELECT 'box' || CAST(i AS VARCHAR) AS poly_id,
+           -800000 + i * 130000                 AS lat0,
+           -800000 + i * 130000 + 60000 + (i % 3) * 40000 AS lat1,
+           -1700000 + i * 260000                AS lon0,
+           -1700000 + i * 260000 + 90000 + (i % 4) * 50000 AS lon1
+    FROM unnest(range(0, {_N_BOXES})) AS t(i)
+    UNION ALL
+    SELECT 'metro', -450000, 450000, -900000, 900000
+"""
+
+
+def _box_polygons(spark: SparkSession) -> DataFrame:
+    lat0 = F.lit(-800_000) + F.col("id") * 130_000
+    dlat = F.lit(60_000) + F.pmod("id", F.lit(3)) * 40_000
+    lon0 = F.lit(-1_700_000) + F.col("id") * 260_000
+    dlon = F.lit(90_000) + F.pmod("id", F.lit(4)) * 50_000
+    boxes = spark.range(_N_BOXES).select(
+        F.concat(F.lit("box"), F.col("id").cast("string")).alias("poly_id"),
+        F.array(lat0, lat0, lat0 + dlat, lat0 + dlat, lat0).alias("ring_lat_e4"),
+        F.array(lon0, lon0 + dlon, lon0 + dlon, lon0, lon0).alias("ring_lon_e4"),
+    )
+    metro = spark.range(1).select(
+        F.lit("metro").alias("poly_id"),
+        F.array(*[F.lit(v).cast("long") for v in
+                  (-450_000, -450_000, 450_000, 450_000, -450_000)]).alias("ring_lat_e4"),
+        F.array(*[F.lit(v).cast("long") for v in
+                  (-900_000, 900_000, 900_000, -900_000, -900_000)]).alias("ring_lon_e4"),
+    )
+    return boxes.unionAll(metro)
+
+
+@register(
+    "pip_join_boxes",
+    oracle=f"""
+    WITH pts AS (SELECT doc_id, {_LAT_SQL} AS lat_e4, {_LON_SQL} AS lon_e4
+                 FROM documents),
+         boxes AS ({_BOX_SQL})
+    SELECT p.doc_id, b.poly_id
+    FROM pts p JOIN boxes b
+      ON p.lat_e4 >= b.lat0 AND p.lat_e4 < b.lat1
+     AND p.lon_e4 >= b.lon0 AND p.lon_e4 < b.lon1
+    """,
+)
+def q_pip_join_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-bucketed PIP join (north_star). The engine path is fully
+    general (polyfill + ray-cast refine in Arrow UDFs); the oracle uses
+    the boxes' closed-open bbox form, which the ray-cast's boundary
+    rule reproduces exactly.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    pts = docs.select("doc_id", lat, lon)
+    return spatial.pip_join(pts, _box_polygons(spark), res=6).select(
+        "doc_id", "poly_id"
+    )
+
+
+@register(
+    "knn_join",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid,
+             {cells.point_sql('vec_id + 7777')[0]} AS qlat,
+             {cells.point_sql('vec_id + 7777')[1]} AS qlon
+      FROM embeddings WHERE vec_id < 20
+    ), p AS (
+      SELECT doc_id, {_LAT_SQL} AS lat_e4, {_LON_SQL} AS lon_e4 FROM documents
+    ), scored AS (
+      SELECT q.qid, p.doc_id AS neighbor_id,
+             (q.qlat - p.lat_e4) * (q.qlat - p.lat_e4)
+             + (q.qlon - p.lon_e4) * (q.qlon - p.lon_e4) AS dist2,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY (q.qlat - p.lat_e4) * (q.qlat - p.lat_e4)
+                      + (q.qlon - p.lon_e4) * (q.qlon - p.lon_e4), p.doc_id
+             ) AS rank
+      FROM q, p
+    )
+    SELECT qid, neighbor_id, dist2, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ring expanded kNN join (north_star): ring escalation + proven
+    exactness bound; oracle is the brute-force cross join."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lat, lon = cells.point_exprs("doc_id")
+    pts = docs.select(F.col("doc_id").alias("id"), lat, lon)
+    qlat, qlon = cells.point_exprs(F.col("vec_id") + 7777)
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), qlat, qlon
+    )
+    out = spatial.knn_join(qs, pts, k=5, res=6)
+    return out.select("qid", "neighbor_id", "dist2", F.col("rank").cast("int").alias("rank"))
+
+
+_X7, _Y7 = cells.cell_xy_sql(_LAT_SQL, _LON_SQL, 7)
+
+
+@register(
+    "tile_counts",
+    oracle=f"""
+    WITH px AS (
+      SELECT {_X7} AS x7, {_Y7} AS y7 FROM documents
+    )
+    SELECT (4 * {1 << geo._RES_SHIFT} + (y7 // 8) * {1 << geo._Y_SHIFT} + (x7 // 8))
+             AS tile,
+           CAST(x7 % 8 AS INT) AS px, CAST(y7 % 8 AS INT) AS py,
+           count(*) AS cnt
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector->raster tiling rollup (tile res 4, pixel res 7)."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    return spatial.tile_counts(docs.select(lat, lon), tile_res=4, pixel_res=7)
+
+
+_X6, _Y6 = cells.cell_xy_sql(_LAT_SQL, _LON_SQL, 6)
+
+
+@register(
+    "kring_expand",
+    oracle=f"""
+    WITH cells6 AS (
+      SELECT DISTINCT (6 * {1 << geo._RES_SHIFT} + {_Y6} * {1 << geo._Y_SHIFT} + {_X6})
+               AS cell,
+             {_X6} AS x, {_Y6} AS y
+      FROM documents
+    )
+    SELECT cell, (6 * {1 << geo._RES_SHIFT}
+                  + (y + dy) * {1 << geo._Y_SHIFT}
+                  + ((x + dx + 128) % 128)) AS neighbor
+    FROM cells6, unnest(range(-1, 2)) AS a(dy), unnest(range(-1, 2)) AS b(dx)
+    WHERE y + dy >= 0 AND y + dy < 64
+    """,
+)
+def q_kring_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ring neighborhood expansion (kNN building block) as a
+    standalone oracle-checked op: res 6 (nx=128, ny=64), k=1."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    cells6 = (
+        docs.select(lat, lon)
+        .select(
+            cells.cell_id_expr("lat_e4", "lon_e4", 6).alias("cell"),
+            cells.kring_expr("lat_e4", "lon_e4", 6, 1).alias("ring"),
+        )
+        .dropDuplicates(["cell"])
+    )
+    return cells6.select("cell", F.explode("ring").alias("neighbor"))
+
+
+# --- skew: salted two-level aggregation == plain groupBy -------------------
+
+_CELL3_SQL = cells.cell_id_sql(_LAT_SQL, _LON_SQL, 3)
+
+
+@register(
+    "salted_cell_count",
+    oracle=f"""
+    SELECT {_CELL3_SQL} AS cell3, count(*) AS cnt
+    FROM documents GROUP BY 1
+    """,
+)
+def q_salted_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted aggregation (north_star skew handling) — must
+    equal the plain group count exactly (algebraic re-association)."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    keyed = docs.select(cells.cell_id_expr(lat, lon, 3).alias("cell3"))
+    return skew.salted_count(keyed, "cell3", n_salt=16)
+
+
+# --- dedup -----------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_keep_first",
+    oracle=f"""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           md5({_NORM_SQL}) AS fingerprint,
+           CAST(row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id)
+                AS BIGINT) AS dup_rank
+    FROM documents
+    """,
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup policy op: fingerprint + keep-first rank per group
+    (rank 1 = canonical copy, >1 = drop candidates)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.md5(dedup.normalize_text(F.col("text"))).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return docs.withColumn("dup_rank", F.row_number().over(w).cast("long"))
+
+
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, shingle FROM (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 3
+                THEN array_to_string(w[i + 1 : i + 3], ' ')
+                ELSE array_to_string(w, ' ') END AS shingle
+    FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+         unnest(range(0, greatest(len(w) - 2, 1))) AS t(i)
+  )
+"""
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT doc_id,
+           min(md5('0|' || shingle)) AS sig_0,
+           min(md5('1|' || shingle)) AS sig_1,
+           min(md5('2|' || shingle)) AS sig_2,
+           min(md5('3|' || shingle)) AS sig_3
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash over word 3-gram shingles, 4 hash families (md5-keyed
+    min-hash form — engine-neutral)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return dedup.minhash_signatures(dedup.word_shingles(docs, n=3), n_hashes=4)
+
+
+@register(
+    "lsh_candidate_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS sig_0,
+             min(md5('1|' || shingle)) AS sig_1,
+             min(md5('2|' || shingle)) AS sig_2,
+             min(md5('3|' || shingle)) AS sig_3
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS band_val FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, sig_2 || '|' || sig_3 AS band_val FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    """,
+)
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding: near-dup candidate pairs via bucket join
+    (2 bands x 2 rows)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    sigs = dedup.minhash_signatures(dedup.word_shingles(docs, n=3), n_hashes=4)
+    return dedup.lsh_candidate_pairs(sigs, n_bands=2, rows_per_band=2)
+
+
+_HEXMAP_SQL = "(instr('0123456789abcdef', substr(md5(tok), CAST(bit // 4 AS INT) + 1, 1)) - 1)"
+
+
+@register(
+    "simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, tok
+      FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents)
+    ), per_bit AS (
+      SELECT doc_id, bit,
+             CASE WHEN ({_HEXMAP_SQL} // (CASE bit % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                                          WHEN 2 THEN 4 ELSE 8 END)) % 2 = 1
+                  THEN 1 ELSE -1 END AS sign
+      FROM toks, unnest(range(0, 16)) AS t(bit)
+    ), sums AS (
+      SELECT doc_id, bit, sum(sign) AS s FROM per_bit GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM sums GROUP BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint (16-bit, md5-hex-digit token hash)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return dedup.simhash(docs, bits=16)
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+@register(
+    "token_stats",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+      CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)
+        AS n_subwords,
+      CAST(length(text) AS BIGINT) AS n_chars_m,
+      CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+           AS BIGINT) AS n_punct,
+      CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS BIGINT) AS n_digit
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(_t(spark, sf_dir, "documents"))
+
+
+_LANGS_SQL = {
+    lang: "(" + ", ".join(f"'{w}'" for w in ws) + ")"
+    for lang, ws in sorted(textstats.LANG_MARKERS.items())
+}
+
+_LANG_SCORES_SQL = ",\n".join(
+    f"len(list_filter(w, x -> x IN {mset})) AS score_{lang}"
+    for lang, mset in _LANGS_SQL.items()
+)
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, {_LANG_SCORES_SQL}
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents)
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+           WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+           WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+           WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+           ELSE 'fr' END AS lang_pred,
+      score_de, score_en, score_es, score_fr
+    FROM scored
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fp_md5,
+           CAST((len(string_split({_NORM_SQL}, ' ')) // 10) * 10 AS BIGINT)
+             AS len_band
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fp_md5", "len_band"
+    )
+
+
+# --- similarity search -------------------------------------------------------
+
+_COS_SQL = """
+  round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 4)
+"""
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS neighbor_id, {_COS_SQL} AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_COS_SQL} DESC, c.vec_id) AS rank
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+    )
+    SELECT qid, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (broadcast queries,
+    single corpus scan, window top-k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, round_scale=4
+    )
+    return out.select("qid", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "embedding_lsh_sig",
+    oracle="""
+    WITH w AS (
+      SELECT e.vec_id, p.p, d.d, e.embedding[CAST(d.d AS INT) + 1] AS v,
+             CASE WHEN ((d.d * 40503 + p.p * 2654435761) % 97) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS wt
+      FROM embeddings e, unnest(range(0, 8)) AS p(p),
+           unnest(range(0, len(e.embedding))) AS d(d)
+    ), proj AS (
+      SELECT vec_id, p, sum(CAST(v AS DOUBLE) * wt) AS s
+      FROM w GROUP BY 1, 2
+    )
+    SELECT vec_id,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS lsh_sig
+    FROM proj GROUP BY vec_id
+    """,
+)
+def q_embedding_lsh_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH signatures for embeddings (ANN scale path
+    bucketing key)."""
+    return similarity.hyperplane_signature(_t(spark, sf_dir, "embeddings"), n_planes=8)
+
+
+# --- events: CDC merge, sessionization, tumbling windows --------------------
+
+
+@register(
+    "cdc_latest_state",
+    oracle="""
+    WITH ops AS (
+      SELECT user_id, event_id, ts, round(value, 2) AS value,
+             CASE event_type WHEN 'signup' THEN 'create'
+                             WHEN 'error' THEN 'delete'
+                             ELSE 'modify' END AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, op AS last_op, value AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM ops WHERE rn = 1 AND op != 'delete'
+    """,
+)
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSC-style CDC merge (ST1): last op per key wins; delete removes
+    the row (mode_t semantics, /root/reference/src/inputosmxml.cpp:243-257,
+    expressed as latest-wins MERGE — the Iceberg MERGE INTO fallback)."""
+    ev = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "create")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("modify")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        ev.select(
+            "user_id", "event_id", "ts", F.round("value", 2).alias("value"),
+            op.alias("op"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+    )
+    return latest.select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("value").alias("last_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+@register(
+    "sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_idx
+      FROM gaps
+    )
+    SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           count(*) AS n_events
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag + running sum windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = gaps.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_idx"),
+    )
+    return sess.groupBy("user_id", F.col("sess_idx").cast("long").alias("sess_idx")).agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "event_windows",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(18, 2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch form of the streaming
+    windowed agg; see streaming module for the readStream variant)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round("value", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+# --- TPC-H classics ----------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18, 2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 2)
+                         AS DECIMAL(18, 2))) AS DOUBLE) AS sum_disc_price,
+           round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 4)
+             AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.round("l_extendedprice", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_base_price"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).cast(
+                "decimal(18,2)"
+            )
+        )
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("long")).cast("double") / F.count("*"), 4
+        ).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_top_orders",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 2)
+                         AS DECIMAL(18, 2))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).cast(
+                    "decimal(18,2)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_region_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 2)
+                         AS DECIMAL(18, 2))) AS DOUBLE) AS revenue
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_regionkey = 1
+    GROUP BY 1
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_regionkey") == 1)
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    # the synthetic data lacks TPC-H's supplier<->customer nation
+    # correlation, so the s_nationkey = c_nationkey clause is dropped
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).cast(
+                    "decimal(18,2)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )

@@ -1,0 +1,140 @@
+"""Spatial join / tiling parity vs brute-force numpy oracles
+(golden join-output parity per SURVEY.md §5: exact row-set match,
+order-insensitive).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from inputosm_spark import geo
+from inputosm_spark.datagen import synth_polygons
+from inputosm_spark.functions import cells
+from inputosm_spark.operators import spatial
+
+N_POINTS = 4000
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    lat, lon = cells.point_exprs("id")
+    return spark.range(N_POINTS).select("id", lat, lon).cache()
+
+
+@pytest.fixture(scope="module")
+def points_np():
+    ids = np.arange(N_POINTS)
+    lat, lon = geo.point_from_id(ids)
+    return ids, lat, lon
+
+
+def test_pip_join_exact_vs_bruteforce(spark, points, points_np):
+    polys = synth_polygons(spark)
+    got = {
+        (r.id, r.poly_id)
+        for r in spatial.pip_join(points, polys, res=6).select("id", "poly_id").collect()
+    }
+    ids, lat, lon = points_np
+    want = set()
+    for p in polys.collect():
+        inside = geo.point_in_polygon(lat, lon, p.ring_lat_e4, p.ring_lon_e4)
+        want |= {(int(i), p.poly_id) for i in ids[inside]}
+    assert got == want
+    assert len(want) > 100  # the metro box guarantees plenty of matches
+
+
+def test_pip_join_broadcast_vs_shuffle_same_result(spark, points):
+    polys = synth_polygons(spark)
+    a = spatial.pip_join(points, polys, res=6, broadcast_threshold=10**9)
+    b = spatial.pip_join(points, polys, res=6, broadcast_threshold=0)
+    rows_a = {(r.id, r.poly_id) for r in a.select("id", "poly_id").collect()}
+    rows_b = {(r.id, r.poly_id) for r in b.select("id", "poly_id").collect()}
+    assert rows_a == rows_b
+
+
+def _knn_oracle(qlat, qlon, ids, lat, lon, k):
+    d2 = (lat - qlat) ** 2 + (lon - qlon) ** 2
+    order = np.lexsort((ids, d2))[:k]
+    return [(int(ids[i]), int(d2[i]), r + 1) for r, i in enumerate(order)]
+
+
+def test_knn_join_exact_vs_bruteforce(spark, points, points_np):
+    ids, lat, lon = points_np
+    qlat, qlon = geo.point_from_id(np.arange(900_000, 900_040))
+    queries = spark.createDataFrame(
+        [(int(i), int(a), int(o)) for i, (a, o) in enumerate(zip(qlat, qlon))],
+        "qid long, lat_e4 long, lon_e4 long",
+    )
+    k = 5
+    got = spatial.knn_join(queries, points, k=k, res=6).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.neighbor_id, r.dist2, r.rank))
+    for qi in range(len(qlat)):
+        want = _knn_oracle(int(qlat[qi]), int(qlon[qi]), ids, lat, lon, k)
+        assert sorted(by_q[qi], key=lambda t: t[2]) == want, f"qid {qi}"
+
+
+def test_knn_escalation_sparse_region(spark, points, points_np):
+    """Queries in empty regions must escalate rings (or brute-force)
+    and still return exactly k correct neighbors."""
+    ids, lat, lon = points_np
+    # corners near the poles are sparse at res 6
+    qs = [(0, 899_000, -1_799_000), (1, -899_500, 1_700_000)]
+    queries = spark.createDataFrame(qs, "qid long, lat_e4 long, lon_e4 long")
+    k = 3
+    got = spatial.knn_join(queries, points, k=k, res=6, max_rounds=2).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.neighbor_id, r.dist2, r.rank))
+    for qid, qlat, qlon in qs:
+        want = _knn_oracle(qlat, qlon, ids, lat, lon, k)
+        assert sorted(by_q[qid], key=lambda t: t[2]) == want
+
+
+def test_tile_counts_vs_bruteforce(spark, points, points_np):
+    ids, lat, lon = points_np
+    tile_res, pixel_res = 4, 7
+    flat = spatial.tile_counts(points, tile_res, pixel_res).collect()
+    got = {(r.tile, r.px, r.py): r.cnt for r in flat}
+    # oracle
+    pc = geo.cell_id(lat, lon, pixel_res)
+    _, py_all, px_all = geo.unpack_cell(pc)
+    d = pixel_res - tile_res
+    tiles = geo.pack_cell(
+        np.full(len(ids), tile_res, np.int64), py_all >> d, px_all >> d
+    )
+    want: dict = {}
+    side = 1 << d
+    for t, x, y in zip(tiles, px_all % side, py_all % side):
+        key = (int(t), int(x), int(y))
+        want[key] = want.get(key, 0) + 1
+    assert got == want
+    # every point is assigned to exactly one tile+pixel
+    assert sum(got.values()) == N_POINTS
+
+
+def test_raster_vector_roundtrip(spark, points):
+    tile_res, pixel_res = 4, 7
+    flat = spatial.tile_counts(points, tile_res, pixel_res)
+    raster = spatial.rasterize(points, tile_res, pixel_res)
+    back = spatial.vectorize(raster, tile_res, pixel_res)
+    # vectorize(rasterize(x)) == tile_counts(x) re-keyed by pixel cell
+    want = {
+        (int(geo.pack_cell(
+            pixel_res,
+            (geo.unpack_cell(r.tile)[1] << (pixel_res - tile_res)) + r.py,
+            (geo.unpack_cell(r.tile)[2] << (pixel_res - tile_res)) + r.px,
+        )), r.cnt)
+        for r in flat.collect()
+    }
+    got = {(r.cell, r.cnt) for r in back.collect()}
+    assert got == want
+
+
+def test_pip_plan_broadcasts_small_polygons(spark, points):
+    polys = synth_polygons(spark)
+    plan = spatial.pip_join(points, polys, res=6)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
