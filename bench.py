@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the no-op sink (``format("noop")``)
+so the measurement covers scan -> shuffle -> agg/join without driver
+collect overhead — the same methodology as the reference's integration
+benchmarks (count_all et al. timed end-to-end over the planet file,
+/root/reference/README.md:396-416).
+
+Scaling-efficiency evidence (north_rule: N vs 4N executors) lives in
+``scripts/bench_scaling.py``, which re-invokes this harness at
+local[8] and local[32] and reports throughput at both.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the north-star spatial core (pip/knn/tiling/skew), the
+# interleaved-corpus flagship, dedup + similarity training-data ops,
+# and the relational parity classics.
+HEADLINE = [
+    "flagship",
+    "cell_assign",
+    "cell_rollup",
+    "pip_join_boxes",
+    "knn_join",
+    "tile_counts",
+    "kring_expand",
+    "salted_cell_count",
+    "dedup_keep_first",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash",
+    "token_stats",
+    "lang_id",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "embedding_lsh_sig",
+    "ann_lsh_topk",
+    "quality_score",
+    "media_edges",
+    "span_roundtrip",
+    "wkt_export",
+    "rollup_cells",
+    "topk_dense_cells",
+    "lineage_buckets",
+    "json_props_agg",
+    "sessionize",
+    "cdc_latest_state",
+    "tpch_q1_pricing",
+    "tpch_q3_top_orders",
+    "tpch_q5_region_volume",
+    "count_all",
+    "statistics",
+    "ordered_assembly",
+]
+
+
+def materialize(df) -> int:
+    """Run the full plan through the no-op sink; return row count cheaply.
+
+    noop sink executes every operator (including the final ones) with
+    zero write cost; a separate count() would re-run the plan, so we
+    return -1 and let correctness live in the oracle gate.
+    """
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entry_mod
+    from inputosm_spark import get_spark
+
+    spark = get_spark(cpus=cpus, app_name=f"inputosm_spark_bench[{cpus}]")
+    qs = entry_mod.queries()
+
+    # estimate corpus scale for the docs/sec headline metric
+    from inputosm_spark.sources.registry import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+
+    # warm the JVM + parquet footers once with the cheapest query
+    materialize(qs["count_all"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    spatial_core = ("flagship", "cell_assign", "pip_join_boxes", "knn_join",
+                    "tile_counts", "salted_cell_count")
+    spatial_s = sum(timings.get(q, 0.0) for q in spatial_core)
+    docs_per_sec = round(n_docs * sum(q in timings for q in spatial_core) / spatial_s) \
+        if spatial_s > 0 else 0
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline-suite wall clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "n_documents": n_docs,
+        "spatial_docs_per_sec": docs_per_sec,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -151,18 +151,23 @@ def interleave_documents(documents_flat: DataFrame) -> DataFrame:
             (i * 2).cast("int").alias("offset"),
         ),
     )
-    media_spans = F.filter(
-        F.transform(
-            chunk,
-            lambda i: F.struct(
-                F.lit("media").alias("kind"),
-                F.lit(None).cast("string").alias("text"),
-                F.concat(F.lit("media://"), F.col("doc_id").cast("string"),
-                         F.lit("/"), i.cast("string")).alias("media_ref"),
-                (i * 2 + 1).cast("int").alias("offset"),
-            ),
+    # engine-neutral deterministic thinning (integer modular predicate —
+    # the same formula must be replayable in the DuckDB oracle)
+    media_idx = F.filter(
+        chunk,
+        lambda i: F.pmod(
+            F.col("doc_id").cast("long") * 31 + i.cast("long") * 17, F.lit(3)
+        ) == 0,
+    )
+    media_spans = F.transform(
+        media_idx,
+        lambda i: F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("media://"), F.col("doc_id").cast("string"),
+                     F.lit("/"), i.cast("string")).alias("media_ref"),
+            (i * 2 + 1).cast("int").alias("offset"),
         ),
-        lambda s: F.pmod(F.xxhash64(s.media_ref), F.lit(3)) == 0,
     )
     spans = F.array_sort(
         F.concat(text_spans, media_spans),

@@ -229,6 +229,77 @@ def polygon_bbox_e4(poly_lat_e4, poly_lon_e4):
     return int(vy.min()), int(vy.max()), int(vx.min()), int(vx.max())
 
 
+def _segment_intersects_rect(x1, y1, x2, y2, lo_x, hi_x, lo_y, hi_y):
+    """Liang-Barsky clip test, vectorized over (edges, cells).
+
+    x1..y2: (n_edges, 1) segment endpoints; lo/hi: (1, n_cells) closed
+    rect bounds. Returns bool (n_edges, n_cells). Closed-rect test —
+    conservatively counts touching edges as intersecting, which only
+    routes a few extra boundary cells to the exact refine.
+    """
+    x1 = x1.astype(np.float64); y1 = y1.astype(np.float64)
+    dx = x2.astype(np.float64) - x1
+    dy = y2.astype(np.float64) - y1
+    t0 = np.zeros(np.broadcast_shapes(x1.shape, lo_x.shape))
+    t1 = np.ones_like(t0)
+    ok = np.ones(t0.shape, dtype=bool)
+    for p, q in (
+        (-dx, x1 - lo_x),
+        (dx, hi_x - x1),
+        (-dy, y1 - lo_y),
+        (dy, hi_y - y1),
+    ):
+        p = np.broadcast_to(p, t0.shape)
+        q = np.broadcast_to(q, t0.shape)
+        par = p == 0
+        ok &= ~(par & (q < 0))  # parallel and fully outside this side
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(par, 0.0, q / np.where(par, 1.0, p))
+        t0 = np.where(~par & (p < 0), np.maximum(t0, t), t0)
+        t1 = np.where(~par & (p > 0), np.minimum(t1, t), t1)
+    return ok & (t0 <= t1)
+
+
+def polyfill_classified(poly_lat_e4, poly_lon_e4, res: int):
+    """True polyfill with interior/boundary classification.
+
+    Returns (cells, full) where `full[i]` is True iff cell i lies
+    entirely inside the polygon: no polygon edge intersects the cell
+    rectangle AND the cell center is inside (continuity then puts the
+    whole rectangle inside). Cells with no edge crossing and center
+    outside are wholly outside and are DROPPED from the cover.
+
+    This is the 100 TB join plan: interior ("full") candidate pairs
+    bypass the exact ray-cast refine entirely — only boundary cells pay
+    the Arrow-UDF cost, so refine work scales with polygon perimeter,
+    not area.
+    """
+    _check_res(res)
+    vy = np.asarray(poly_lat_e4, np.int64)
+    vx = np.asarray(poly_lon_e4, np.int64)
+    if vx[0] == vx[-1] and vy[0] == vy[-1] and len(vx) > 1:
+        vx, vy = vx[:-1], vy[:-1]
+    cand = polyfill(vy, vx, res)
+    lat_lo, lat_hi, lon_lo, lon_hi = cell_bounds_e4(cand)
+    # closed-rect bounds: the half-open integer hi edge is hi - 1
+    lo_x = lon_lo[None, :].astype(np.float64)
+    hi_x = (lon_hi - 1)[None, :].astype(np.float64)
+    lo_y = lat_lo[None, :].astype(np.float64)
+    hi_y = (lat_hi - 1)[None, :].astype(np.float64)
+    x1 = vx[:, None]; y1 = vy[:, None]
+    x2 = np.roll(vx, -1)[:, None]; y2 = np.roll(vy, -1)[:, None]
+    crossed = _segment_intersects_rect(x1, y1, x2, y2, lo_x, hi_x, lo_y, hi_y).any(
+        axis=0
+    )
+    c_lat, c_lon = cell_center_e4(cand)
+    center_in = point_in_polygon(
+        c_lat.astype(np.int64), c_lon.astype(np.int64), vy, vx
+    )
+    keep = crossed | center_in
+    full = center_in & ~crossed
+    return cand[keep], full[keep]
+
+
 def polyfill(poly_lat_e4, poly_lon_e4, res: int) -> np.ndarray:
     """Covering cells of a polygon at `res` (H3 polyfill analog).
 

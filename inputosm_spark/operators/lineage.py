@@ -82,6 +82,35 @@ def compute_lineage(
     )
 
 
+def neutral_lineage(
+    df: DataFrame,
+    id_col: str,
+    n_buckets: int = 64,
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Engine-neutral lineage rows (the oracle-checkable twin of
+    compute_lineage): bucket = id % n_buckets, checksum = wrapped sum of
+    a modular id hash — pure integer arithmetic replayable in any SQL
+    engine, so the lineage itself is correctness-gated.
+    """
+    from inputosm_spark import geo
+
+    pid = F.pmod(F.col(id_col).cast("long"), F.lit(n_buckets)).cast("int")
+    row_hash = F.pmod(
+        F.col(id_col).cast("long") * F.lit(geo.HASH_MUL_LAT), F.lit(1 << 40)
+    )
+    aggs = [
+        F.count("*").alias("row_count"),
+        F.sum(row_hash).alias("checksum"),
+    ]
+    if cell_col:
+        aggs += [
+            F.min(cell_col).alias("cell_range_lo"),
+            F.max(cell_col).alias("cell_range_hi"),
+        ]
+    return df.groupBy(pid.alias("partition_id")).agg(*aggs)
+
+
 class LineageStore:
     """Append-only lineage checkpoint table (Iceberg or parquet dir)."""
 

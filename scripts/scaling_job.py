@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""The scaling-evidence job: one fixed spatial-join + tiling pipeline
+over a deterministically synthesized interleaved corpus (no external
+data; pure `spark.range` + column exprs, identical at any parallelism).
+
+Pipeline (the north_star core path):
+  synth docs -> deterministic point -> res-7/9 cells
+    -> cell-bucketed PIP join against the polygon set (broadcast)
+    -> salted per-cell rollup + raster tile counts
+  all materialized through the noop sink.
+
+Prints ONE JSON line: {"cpus": N, "n_docs": D, "wall_s": T,
+"docs_per_sec": R}. Invoked at two parallelism levels by
+scripts/bench_scaling.py; throughput ratio between them is the
+N->4N scaling-efficiency evidence (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> int:
+    n_docs = int(os.environ.get("SCALING_DOCS", "4000000"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from inputosm_spark import get_spark
+    from inputosm_spark.datagen import synth_polygons
+    from inputosm_spark.functions import cells
+    from inputosm_spark.operators import skew, spatial
+
+    spark = get_spark(cpus=cpus, shuffle_partitions=max(32, cpus * 2),
+                      app_name=f"scaling_job[{cpus}]")
+
+    lat, lon = cells.point_exprs("id")
+    docs = spark.range(n_docs, numPartitions=cpus * 4).select(
+        F.col("id").alias("doc_id"), lat, lon
+    )
+    polys = synth_polygons(spark)
+
+    # warm-up: JVM/codegen/Python workers at a tiny slice
+    spatial.pip_join(docs.limit(10_000), polys, res=6).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    t0 = time.monotonic()
+    joined = spatial.pip_join(docs, polys, res=6)
+    keyed = joined.withColumn("cell7", cells.cell_id_expr("lat_e4", "lon_e4", 7))
+    rollup = skew.salted_count(
+        keyed.select(F.concat_ws("|", "cell7", "poly_id").alias("key")), "key",
+        n_salt=cpus,
+    )
+    rollup.write.format("noop").mode("overwrite").save()
+    tiles = spatial.tile_counts(docs.select("lat_e4", "lon_e4"),
+                                tile_res=4, pixel_res=9)
+    tiles.write.format("noop").mode("overwrite").save()
+    wall = time.monotonic() - t0
+
+    print(json.dumps({
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "wall_s": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,97 @@
+"""Structured Streaming: windowed agg parity with batch, CDC merge
+convergence, replay idempotency (the OSC change-stream semantics,
+/root/reference/test/unit/read_osc_test.cpp:40-213, lifted to streams).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from inputosm_spark.streaming import events as stream_ops
+
+
+def _events_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "events.parquet")
+
+
+def _events_dir(sf_dir: str, tmp_path) -> str:
+    """The file stream source requires a DIRECTORY (its landing-zone
+    contract); stage the single parquet file into one via symlink."""
+    d = tmp_path / "events_landing"
+    d.mkdir(exist_ok=True)
+    link = d / "events.parquet"
+    if not link.exists():
+        os.symlink(_events_path(sf_dir), link)
+    return str(d)
+
+
+def test_windowed_stream_matches_batch(spark, sf_dir, tmp_path):
+    src = stream_ops.read_event_stream(spark, _events_dir(sf_dir, tmp_path))
+    out = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+    stream_ops.run_windowed_stream(src, ckpt, out)
+
+    got = spark.read.parquet(out)
+    batch_events = spark.read.parquet(_events_path(sf_dir))
+    expected = (
+        batch_events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round("value", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    # append mode emits only watermark-closed windows; every emitted row
+    # must exactly equal its batch twin, and most windows must emit
+    n_got = got.count()
+    assert n_got > 0
+    joined = got.join(
+        expected, ["hour_start", "event_type"], "inner"
+    ).filter((got.n == expected.n) & (got.total_value == expected.total_value))
+    assert joined.count() == n_got
+
+
+def test_cdc_merge_matches_batch_latest_state(spark, sf_dir, tmp_path):
+    src = stream_ops.read_event_stream(spark, _events_dir(sf_dir, tmp_path))
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    stream_ops.stream_cdc_merge(src, state, ckpt)
+
+    got = spark.read.parquet(state)
+
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(_events_path(sf_dir))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    expected = (
+        stream_ops.event_ops(ev)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("op") != "delete"))
+        .drop("__rn")
+    )
+    assert got.count() == expected.count()
+    assert (
+        got.select("user_id", "op", "value").exceptAll(
+            expected.select("user_id", "op", "value")
+        )
+    ).isEmpty()
+
+
+def test_cdc_merge_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-running the drained stream (fresh checkpoint, same state dir)
+    converges to the same state — the resume contract."""
+    state = str(tmp_path / "state2")
+    for i in range(2):
+        src = stream_ops.read_event_stream(spark, _events_dir(sf_dir, tmp_path))
+        stream_ops.stream_cdc_merge(src, state, str(tmp_path / f"ckpt{i}"))
+    got = spark.read.parquet(state)
+    ids = got.groupBy("user_id").count().filter("count > 1")
+    assert ids.isEmpty()
