@@ -20,10 +20,14 @@ def salted_count(df: DataFrame, key: str, n_salt: int = 16) -> DataFrame:
     (asserted by the `salted_cell_count` oracle); the partial stage
     spreads each hot key over n_salt reducers.
 
-    Salt is derived from a hash of all columns via xxhash64 so rows of
-    the same key scatter deterministically without an RNG.
+    Salt is derived from the row's position (monotonically_increasing_id:
+    partition ordinal + offset) — content-independent, so even EXACT
+    DUPLICATE rows of a hot key scatter across all n_salt reducers
+    (a content hash would send every duplicate to one reducer, which is
+    precisely the skew being fought). No RNG: rerunning the same input
+    partitioning yields the same salts.
     """
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salt)).alias("__salt")
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)).alias("__salt")
     partial = (
         df.select(F.col(key), salt)
         .groupBy(key, "__salt")
@@ -46,7 +50,7 @@ def salted_agg(
         c: (F.count(c) if how == "count" else getattr(F, how)(c)).alias(f"__p_{c}")
         for c, how in aggs.items()
     }
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salt)).alias("__salt")
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)).alias("__salt")
     partial = df.withColumn("__salt", salt).groupBy(key, "__salt").agg(*first.values())
     final = partial.groupBy(key).agg(
         *[
@@ -86,7 +90,7 @@ def repartition_salted(
             "__salt",
             F.when(
                 F.col("__hot").isNotNull(),
-                F.pmod(F.xxhash64(*df.columns), F.lit(n_salt)),
+                F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)),
             ).otherwise(F.lit(0)),
         )
         .drop("__hot")

@@ -88,23 +88,24 @@ def polygon_cells(polygons: DataFrame, res: int) -> DataFrame:
 
 @F.pandas_udf(BooleanType())
 def _pip_refine(
-    lat: pd.Series, lon: pd.Series, ring_lat: pd.Series, ring_lon: pd.Series
+    lat: pd.Series,
+    lon: pd.Series,
+    poly_id: pd.Series,
+    ring_lat: pd.Series,
+    ring_lon: pd.Series,
 ) -> pd.Series:
     """Vectorized point-in-polygon refine. Candidate rows arrive as
-    (point, polygon-ring) pairs; rows are grouped by identical ring so
-    the numpy kernel runs once per polygon per batch over all its
-    points (batch ~16k rows, polygon count per batch is small).
+    (point, poly_id, polygon-ring) tuples; rows are grouped by poly_id
+    (a cheap vectorized factorize — never per-row ring hashing) so the
+    numpy kernel runs once per polygon per batch over all its points
+    (batch ~16k rows, polygon count per batch is small).
     """
     plat = lat.to_numpy(dtype=np.int64)
     plon = lon.to_numpy(dtype=np.int64)
     out = np.zeros(len(lat), dtype=bool)
-    # group candidate rows by polygon content so the kernel runs once
-    # per polygon per batch, vectorized over all its points
-    keys = pd.util.hash_pandas_object(
-        pd.Series([(tuple(a), tuple(b)) for a, b in zip(ring_lat, ring_lon)])
-    )
-    for _, idx in pd.Series(range(len(keys))).groupby(keys.values):
-        ii = idx.to_numpy()
+    codes, _ = pd.factorize(poly_id, sort=False)
+    for g in np.unique(codes):
+        ii = np.nonzero(codes == g)[0]
         ra = np.asarray(ring_lat.iloc[ii[0]], dtype=np.int64)
         ro = np.asarray(ring_lon.iloc[ii[0]], dtype=np.int64)
         out[ii] = geo.point_in_polygon(plat[ii], plon[ii], ra, ro)
@@ -141,23 +142,30 @@ def pip_join(
     pts = points.withColumn("__cell", cell_col)
 
     n_poly_cells = pcells.count()  # tiny aggregate; drives the plan choice
-    right = pcells.select(
-        F.col("cell").alias("__cell"), "poly_id", "full", "ring_lat_e4",
-        "ring_lon_e4"
+    # split the build side: interior ("full") cells join WITHOUT the
+    # ring arrays — interior candidates (the bulk: polygon area) are
+    # contained by construction, so copying rings into them would be
+    # pure memory traffic; only boundary cells carry rings into the
+    # Arrow-UDF exact refine, so Python + memory work scales with
+    # polygon perimeter, not area
+    right_full = pcells.filter(F.col("full")).select(
+        F.col("cell").alias("__cell"), "poly_id"
+    )
+    right_edge = pcells.filter(~F.col("full")).select(
+        F.col("cell").alias("__cell"), "poly_id", "ring_lat_e4", "ring_lon_e4"
     )
     if n_poly_cells <= broadcast_threshold:
-        right = F.broadcast(right)
+        right_full = F.broadcast(right_full)
+        right_edge = F.broadcast(right_edge)
 
-    cand = pts.join(right, "__cell")
-    # interior-cell candidates are contained by construction — only
-    # boundary-cell candidates pay the Arrow-UDF exact refine, so Python
-    # work scales with polygon perimeter, not area
-    inside_full = cand.filter(F.col("full"))
-    refined = cand.filter(~F.col("full")).filter(
-        _pip_refine("lat_e4", "lon_e4", "ring_lat_e4", "ring_lon_e4")
+    inside_full = pts.join(right_full, "__cell").drop("__cell")
+    refined = (
+        pts.join(right_edge, "__cell")
+        .filter(_pip_refine("lat_e4", "lon_e4", "poly_id", "ring_lat_e4",
+                            "ring_lon_e4"))
+        .drop("__cell", "ring_lat_e4", "ring_lon_e4")
     )
-    drop = ["__cell", "full", "ring_lat_e4", "ring_lon_e4"]
-    return inside_full.drop(*drop).unionAll(refined.drop(*drop))
+    return inside_full.unionAll(refined)
 
 
 # ---------------------------------------------------------------------------

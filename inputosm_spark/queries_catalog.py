@@ -1412,3 +1412,104 @@ def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.max(k).alias("max_k"), F.count("*").alias("n")
     )
+
+
+# --- raster roundtrip + sketches ------------------------------------------
+
+_X8, _Y8 = cells.cell_xy_sql(_LAT_SQL, _LON_SQL, 8)
+
+
+@register(
+    "raster_roundtrip",
+    oracle=f"""
+    SELECT (8 * {1 << geo._RES_SHIFT} + {_Y8} * {1 << geo._Y_SHIFT} + {_X8})
+             AS cell,
+           count(*) AS cnt
+    FROM documents GROUP BY 1
+    """,
+)
+def q_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector inversion (north_star tiling): rasterize points
+    into dense per-tile pixel arrays (grouped Arrow UDF) then vectorize
+    back — must equal the direct per-pixel-cell counts exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    pts = docs.select(lat, lon)
+    raster = spatial.rasterize(pts, tile_res=4, pixel_res=8)
+    return spatial.vectorize(raster, tile_res=4, pixel_res=8)
+
+
+@register("approx_distinct_cells")  # sketch op: no cross-engine oracle
+def q_approx_distinct_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-cell estimate per coarse cell — the
+    sketch path for 10^12-scale cardinality (approx_count_distinct is
+    engine-specific, so this entry is rows-only checked)."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    keyed = docs.select(
+        cells.cell_id_expr(lat, lon, 3).alias("cell3"),
+        cells.cell_id_expr(lat, lon, 9).alias("cell9"),
+    )
+    return keyed.groupBy("cell3").agg(
+        F.approx_count_distinct("cell9", 0.01).alias("approx_cells9"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@register(
+    "tpch_q6_forecast",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount, 2)
+                         AS DECIMAL(18, 2))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive pushed-down filters +
+    global agg — the plan where predicate pushdown shows up or doesn't."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * F.col("l_discount"), 2).cast(
+                "decimal(18,2)"
+            )
+        ).cast("double").alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@register("media_features")  # stubbed codec: rows-only driver check
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode pipeline end-to-end: media spans -> left-semi
+    pruned media dim -> Arrow mapInPandas decode (deterministic stub) ->
+    feature rows. Codec is stubbed (no image libs here), so this entry
+    is rows-only checked; the Spark plumbing is the real thing."""
+    from inputosm_spark import multimodal
+
+    docs = interleave_documents(_t(spark, sf_dir, "documents"))
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    media = refs.select(
+        "media_ref",
+        F.lit("image").alias("media_type"),
+        F.lit(64).cast("int").alias("width"),
+        F.lit(64).cast("int").alias("height"),
+        F.lit(0).cast("int").alias("duration_ms"),
+        F.unhex(F.md5("media_ref")).alias("payload"),
+    )
+    return multimodal.media_spans_features(docs, media, fake=True)

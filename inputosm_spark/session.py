@@ -73,8 +73,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow everywhere: span-batch delivery (reference span_t,
         # /root/reference/include/inputosm/span.h:26-85) == Arrow batch.
+        # 64k-row batches: each Python roundtrip has fixed serialization
+        # cost, so bigger batches directly raise UDF throughput (the
+        # reference's 16k-node spans are a decode bound, not a UDF one).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("INPUTOSM_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

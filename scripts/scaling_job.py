@@ -28,7 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def main() -> int:
-    n_docs = int(os.environ.get("SCALING_DOCS", "4000000"))
+    n_docs = int(os.environ.get("SCALING_DOCS", "40000000"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     from inputosm_spark import get_spark
@@ -36,37 +36,56 @@ def main() -> int:
     from inputosm_spark.functions import cells
     from inputosm_spark.operators import skew, spatial
 
-    spark = get_spark(cpus=cpus, shuffle_partitions=max(32, cpus * 2),
+    # big heap: scaling runs hold 32 concurrent task sets in one JVM;
+    # an undersized heap turns the 32-thread run into a GC benchmark
+    os.environ.setdefault("INPUTOSM_DRIVER_MEM", "48g")
+    # the SAME job at every cluster size: input splits, shuffle
+    # partitioning and salt fan-out are all fixed — only the executor
+    # thread count differs between runs (north_rule N vs 4N evidence)
+    spark = get_spark(cpus=cpus, shuffle_partitions=64,
                       app_name=f"scaling_job[{cpus}]")
 
     lat, lon = cells.point_exprs("id")
-    docs = spark.range(n_docs, numPartitions=cpus * 4).select(
+    docs = spark.range(n_docs, numPartitions=128).select(
         F.col("id").alias("doc_id"), lat, lon
     )
     polys = synth_polygons(spark)
 
-    # warm-up: JVM/codegen/Python workers at a tiny slice
-    spatial.pip_join(docs.limit(10_000), polys, res=6).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    def pipeline() -> None:
+        joined = spatial.pip_join(docs, polys, res=6)
+        keyed = joined.withColumn(
+            "cell7", cells.cell_id_expr("lat_e4", "lon_e4", 7)
+        )
+        rollup = skew.salted_count(
+            keyed.select(F.concat_ws("|", "cell7", "poly_id").alias("key")),
+            "key", n_salt=16,
+        )
+        rollup.write.format("noop").mode("overwrite").save()
+        tiles = spatial.tile_counts(docs.select("lat_e4", "lon_e4"),
+                                    tile_res=4, pixel_res=9)
+        tiles.write.format("noop").mode("overwrite").save()
 
-    t0 = time.monotonic()
-    joined = spatial.pip_join(docs, polys, res=6)
-    keyed = joined.withColumn("cell7", cells.cell_id_expr("lat_e4", "lon_e4", 7))
-    rollup = skew.salted_count(
-        keyed.select(F.concat_ws("|", "cell7", "poly_id").alias("key")), "key",
-        n_salt=cpus,
-    )
-    rollup.write.format("noop").mode("overwrite").save()
-    tiles = spatial.tile_counts(docs.select("lat_e4", "lon_e4"),
-                                tile_res=4, pixel_res=9)
-    tiles.write.format("noop").mode("overwrite").save()
-    wall = time.monotonic() - t0
+    # warm-up: one UNTIMED full-pipeline pass — C2 JIT of the generated
+    # code and the Python worker pool spawn happen here, not inside the
+    # measurement (at 32 threads concurrent JIT alone is tens of
+    # seconds of one-time noise)
+    pipeline()
+
+    # best-of-N: single-JVM runs on a shared VM have multi-second
+    # GC/JIT/host noise; min wall is the standard throughput estimator
+    n_reps = int(os.environ.get("SCALING_REPS", "3"))
+    walls = []
+    for _ in range(n_reps):
+        t0 = time.monotonic()
+        pipeline()
+        walls.append(time.monotonic() - t0)
+    wall = min(walls)
 
     print(json.dumps({
         "cpus": cpus,
         "n_docs": n_docs,
         "wall_s": round(wall, 3),
+        "walls_all": [round(w, 3) for w in walls],
         "docs_per_sec": round(n_docs / wall),
     }))
     return 0
