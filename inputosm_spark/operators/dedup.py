@@ -129,7 +129,13 @@ def jaccard_verify(
     |A∩B| via an equi-join on shingle restricted to candidate pairs;
     |A∪B| = |A|+|B|-|A∩B|. Returns pairs with jaccard >= threshold.
     Cost scales with candidate count, not corpus size squared.
+
+    The shingle set feeds THREE plan branches (sizes + both join
+    probes); Spark has no automatic subplan sharing across DataFrame
+    branches, so cache it — one normalize+explode pass instead of three
+    at any scale.
     """
+    shingled = shingled.cache()
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -153,3 +153,104 @@ def run_windowed_stream(
     )
     q.awaitTermination()
     return q
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: streaming sessionization
+# ---------------------------------------------------------------------------
+
+SESSION_STATE_DDL = "sess_start timestamp, last_ts timestamp, n_events long"
+SESSION_OUT_DDL = (
+    "user_id long, sess_start timestamp, sess_end timestamp, n_events long"
+)
+
+
+def stream_sessionize(events: DataFrame, gap_s: int = 1800):
+    """Gap-based sessionization as a CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState) — the engine's example of semantics the
+    built-in window/watermark operators can't express: per-key mutable
+    state (open session) that closes on a data-driven condition (gap),
+    not on a fixed window boundary.
+
+    Emits one row per CLOSED session; the open tail session per user
+    stays in state (emitted on event-time timeout once the watermark
+    passes last_ts + gap). State per key is three scalars — bounded
+    regardless of corpus size.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        user_id = key[0]
+        closed = []  # (sess_start, sess_end, n_events)
+
+        if state.hasTimedOut:
+            if state.exists:
+                s0, last, n = state.get
+                closed.append((s0, last, n))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdf_iter), ignore_index=True)
+            rows = rows.sort_values(["ts", "event_id"])
+            ts = rows["ts"].reset_index(drop=True)
+            # vectorized gap detection: boundary where inter-event gap
+            # exceeds gap_s (no per-row Python)
+            bound = ts.diff().dt.total_seconds() > gap_s
+            grp = bound.cumsum()
+            agg = ts.groupby(grp).agg(["min", "max", "count"])
+
+            s0 = last = None
+            n = 0
+            if state.exists:
+                s0, last, n = state.get
+            for g_start, g_end, g_n in agg.itertuples(index=False):
+                g_start = g_start.to_pydatetime()
+                g_end = g_end.to_pydatetime()
+                if last is not None and (g_start - last).total_seconds() > gap_s:
+                    closed.append((s0, last, n))
+                    s0, last, n = None, None, 0
+                if s0 is None:
+                    s0 = g_start
+                last = g_end
+                n += int(g_n)
+            state.update((s0, last, n))
+            # event-time timeout: close the open session once the
+            # watermark passes last_ts + gap
+            state.setTimeoutTimestamp(int(last.timestamp() * 1000) + gap_s * 1000)
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "sess_start": [c[0] for c in closed],
+                    "sess_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", f"{gap_s} seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_DDL,
+            stateStructType=SESSION_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_sessionize_stream(events: DataFrame, checkpoint_path: str, out_path: str):
+    """Drain the stateful sessionizer to parquet (availableNow)."""
+    q = (
+        stream_sessionize(events)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -95,3 +95,54 @@ def test_cdc_merge_replay_is_idempotent(spark, sf_dir, tmp_path):
     got = spark.read.parquet(state)
     ids = got.groupBy("user_id").count().filter("count > 1")
     assert ids.isEmpty()
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer: closed sessions must equal
+    batch sessionization minus each user's open tail session (which
+    stays in state until the watermark passes it)."""
+    src = stream_ops.read_event_stream(spark, _events_dir(sf_dir, tmp_path))
+    out = str(tmp_path / "sess_out")
+    stream_ops.run_sessionize_stream(src, str(tmp_path / "sess_ckpt"), out)
+    got = spark.read.parquet(out)
+
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(_events_path(sf_dir))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    sess = gaps.select(
+        "user_id", "ts",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sess_idx"),
+    ).groupBy("user_id", "sess_idx").agg(
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+        F.count("*").alias("n_events"),
+    )
+    # expected = all gap-closed sessions, plus tail sessions the final
+    # watermark (max_ts - 1800s delay) already timed out (timeout fires
+    # at sess_end + 1800s gap -> emitted iff max_ts - sess_end > 3600s)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    wm = Window.partitionBy("user_id")
+    expected = (
+        sess.withColumn("max_idx", F.max("sess_idx").over(wm))
+        .filter(
+            (F.col("sess_idx") != F.col("max_idx"))
+            | (
+                F.unix_timestamp(F.lit(max_ts)) - F.unix_timestamp("sess_end")
+                > 3600
+            )
+        )
+        .select("user_id", "sess_start", "sess_end", "n_events")
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).isEmpty() and expected.exceptAll(got).isEmpty()
