@@ -49,6 +49,7 @@ HEADLINE = [
     "cosine_topk",
     "embedding_lsh_sig",
     "ann_lsh_topk",
+    "embedding_near_dup",
     "quality_score",
     "media_edges",
     "span_roundtrip",

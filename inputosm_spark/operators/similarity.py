@@ -164,3 +164,37 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("qid", F.col("nid").alias("neighbor_id"), "cos", "rank")
     )
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    n_planes: int = 8,
+    threshold: float = 0.15,
+    round_scale: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (vec_a < vec_b): candidate
+    pairs from equal LSH hyperplane signatures, verified by exact
+    cosine >= threshold. The self-join runs on the 64-bit signature key
+    (shuffle equi-join), never on the raw vectors.
+    """
+    sigs = hyperplane_signature(corpus, n_planes)
+    vecs = corpus.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("vec"),
+        _norm(_as_double(F.col("embedding"))).alias("nrm"),
+    ).join(sigs, "vec_id")
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"), "lsh_sig",
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), "lsh_sig",
+    )
+    pairs = a.join(b, "lsh_sig").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                  round_scale)
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

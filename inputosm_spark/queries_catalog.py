@@ -1513,3 +1513,47 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(F.md5("media_ref")).alias("payload"),
     )
     return multimodal.media_spans_features(docs, media, fake=True)
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH sig AS ({_SIG_SQL})
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL.replace('q.', 'a.').replace('c.', 'b.')} AS cos
+    FROM sig sa JOIN sig sb ON sa.lsh_sig = sb.lsh_sig AND sa.vec_id < sb.vec_id
+         JOIN embeddings a ON a.vec_id = sa.vec_id
+         JOIN embeddings b ON b.vec_id = sb.vec_id
+    WHERE {_COS_SQL.replace('q.', 'a.').replace('c.', 'b.')} >= 0.15
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup ladder's last
+    rung): LSH hyperplane buckets propose candidates, exact cosine
+    verifies — pair work scales with bucket collisions, not corpus^2."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs(emb, n_planes=8, threshold=0.15, round_scale=4)
+
+
+@register(
+    "intersect_users",
+    oracle="""
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'signup' AND value > 90
+    INTERSECT
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'purchase' AND value > 90
+    """,
+)
+def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: high-value users present in both signup and
+    purchase streams."""
+    ev = _t(spark, sf_dir, "events")
+    a = (
+        ev.filter((F.col("event_type") == "signup") & (F.col("value") > 90))
+        .select("user_id").distinct()
+    )
+    b = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
+        .select("user_id").distinct()
+    )
+    return a.intersect(b)
