@@ -51,6 +51,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "embedding_near_dup",
     "quality_score",
+    "training_pipeline",
     "media_edges",
     "span_roundtrip",
     "wkt_export",
@@ -99,13 +100,17 @@ def main() -> int:
     materialize(qs["count_all"](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
         t0 = time.monotonic()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+        try:
+            materialize(fn(spark, sf_dir))
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as e:  # one bad query must not kill the round
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 3)
     spatial_core = ("flagship", "cell_assign", "pip_join_boxes", "knn_join",
@@ -124,6 +129,7 @@ def main() -> int:
         "cpus": cpus,
         "n_documents": n_docs,
         "spatial_docs_per_sec": docs_per_sec,
+        **({"errors": errors} if errors else {}),
     }))
     return 0
 

@@ -1557,3 +1557,72 @@ def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id").distinct()
     )
     return a.intersect(b)
+
+
+@register(
+    "training_pipeline",
+    oracle=f"""
+    WITH base AS ({_QUALITY_SQL}),
+    q AS (
+      SELECT doc_id,
+             round(0.4 * (CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0
+                               WHEN n_chars < 100 THEN n_chars / 100.0
+                               ELSE 5000.0 / n_chars END)
+                 + 0.2 * (CASE WHEN CAST(n_nospace AS DOUBLE) / n_words
+                               BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+                 + 0.2 * least(CAST(len(list_filter(words, x -> x IN {_ALL_STOPS_SQL}))
+                                    AS DOUBLE) / n_words * 5, 1.0)
+                 + 0.2 * (1 - least(CAST(n_punct AS DOUBLE) / n_chars_t * 5, 1.0)),
+                 4) AS quality
+      FROM base
+    ),
+    l AS (
+      SELECT doc_id, {_LANG_SCORES_SQL.replace("AS score_", "AS s_")}
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents)
+    ),
+    lang AS (
+      SELECT doc_id,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             ELSE 'fr' END AS lang_pred
+      FROM l
+    ),
+    d AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id)
+               AS dup_rank
+      FROM documents
+    )
+    SELECT q.doc_id, lang.lang_pred, q.quality
+    FROM q JOIN lang ON lang.doc_id = q.doc_id
+           JOIN d ON d.doc_id = q.doc_id
+    WHERE q.quality >= 0.5 AND lang.lang_pred != 'und' AND d.dup_rank = 1
+    """,
+)
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data pipeline in ONE Spark plan: quality
+    gate AND language gate AND exact-dedup keep-first — the filter
+    chain a 100 TB corpus runs before tokenization. Three operator
+    outputs joined on doc_id; Catalyst collapses the shared scans."""
+    docs = _t(spark, sf_dir, "documents")
+    q = textstats.quality_score(docs).select("doc_id", "quality")
+    lang = textstats.lang_id(docs).select("doc_id", "lang_pred")
+    d = docs.select(
+        "doc_id", F.md5(dedup.normalize_text(F.col("text"))).alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    d = d.withColumn("dup_rank", F.row_number().over(w))
+    return (
+        q.join(lang, "doc_id")
+        .join(d.select("doc_id", "dup_rank"), "doc_id")
+        .filter(
+            (F.col("quality") >= 0.5)
+            & (F.col("lang_pred") != "und")
+            & (F.col("dup_rank") == 1)
+        )
+        .select("doc_id", "lang_pred", "quality")
+    )
