@@ -126,6 +126,11 @@ def pip_join(
     Returns points' columns + poly_id for every (point, polygon)
     containment pair (half-open boundary rule, see geo.point_in_polygon).
 
+    Known limitation: polygon rings must not cross the antimeridian
+    (lon +/-180) — the polyfill bbox does not wrap. Split such rings at
+    the seam before calling (the point side wraps fine; only the
+    polygon cover is seam-naive).
+
     Physical strategy: polygon covering cells are counted; below
     `broadcast_threshold` exploded rows the polygon side is broadcast
     (point table untouched by shuffle — the 100 TB plan), otherwise a

@@ -505,7 +505,8 @@ _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     oracle=f"""
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            md5({_NORM_SQL}) AS fingerprint,
-           CAST(row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id)
+           CAST(row_number() OVER (PARTITION BY md5({_NORM_SQL})
+                                   ORDER BY CAST(doc_id AS BIGINT))
                 AS BIGINT) AS dup_rank
     FROM documents
     """,
@@ -515,10 +516,17 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank 1 = canonical copy, >1 = drop candidates)."""
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").cast("long").alias("__num_id"),
         F.md5(dedup.normalize_text(F.col("text"))).alias("fingerprint"),
     )
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    return docs.withColumn("dup_rank", F.row_number().over(w).cast("long"))
+    # tie-break on the NUMERIC id in both dialects: in SQL an ORDER BY
+    # doc_id inside the window binds to the base BIGINT column while the
+    # projected alias is VARCHAR — lexicographic vs numeric order
+    # diverges once a dup group spans id digit lengths
+    w = Window.partitionBy("fingerprint").orderBy("__num_id")
+    return docs.withColumn(
+        "dup_rank", F.row_number().over(w).cast("long")
+    ).drop("__num_id")
 
 
 _SHINGLES_SQL = f"""
@@ -890,8 +898,9 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18, 2))) AS DOUBLE)
              AS sum_base_price,
-           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 2)
-                         AS DECIMAL(18, 2))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * (1 - CAST(l_discount AS DECIMAL(18, 2)))) AS DOUBLE)
+             AS sum_disc_price,
            round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 4)
              AS avg_qty,
            count(*) AS count_order
@@ -910,9 +919,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_base_price"),
         F.sum(
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).cast(
-                "decimal(18,2)"
-            )
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
         )
         .cast("double")
         .alias("sum_disc_price"),
@@ -928,8 +936,9 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey AS orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
-           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 2)
-                         AS DECIMAL(18, 2))) AS DOUBLE) AS revenue
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18, 2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18, 2)))) AS DOUBLE)
+             AS revenue
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
@@ -951,9 +960,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(
-                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).cast(
-                    "decimal(18,2)"
-                )
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
             )
             .cast("double")
             .alias("revenue")
@@ -967,8 +975,9 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_region_volume",
     oracle="""
     SELECT n.n_name AS nation,
-           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 2)
-                         AS DECIMAL(18, 2))) AS DOUBLE) AS revenue
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18, 2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18, 2)))) AS DOUBLE)
+             AS revenue
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
                   JOIN customer c ON c.c_nationkey = n.n_nationkey
                   JOIN orders o ON o.o_custkey = c.c_custkey
@@ -993,9 +1002,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.sum(
-                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).cast(
-                    "decimal(18,2)"
-                )
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
             )
             .cast("double")
             .alias("revenue")
@@ -1459,8 +1467,8 @@ def q_approx_distinct_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6_forecast",
     oracle="""
-    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount, 2)
-                         AS DECIMAL(18, 2))) AS DOUBLE) AS revenue,
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * CAST(l_discount AS DECIMAL(18, 2))) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1481,9 +1489,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return f.agg(
         F.sum(
-            F.round(F.col("l_extendedprice") * F.col("l_discount"), 2).cast(
-                "decimal(18,2)"
-            )
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(18,2)")
         ).cast("double").alias("revenue"),
         F.count("*").alias("n"),
     )
@@ -1593,8 +1600,8 @@ def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (
       SELECT doc_id,
-             row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id)
-               AS dup_rank
+             row_number() OVER (PARTITION BY md5({_NORM_SQL})
+                                ORDER BY CAST(doc_id AS BIGINT)) AS dup_rank
       FROM documents
     )
     SELECT q.doc_id, lang.lang_pred, q.quality
