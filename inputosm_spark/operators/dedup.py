@@ -62,6 +62,9 @@ def word_shingles(documents: DataFrame, text_col: str = "text", n: int = 3) -> D
             lambda i: F.array_join(F.slice(words, i + 1, n), " "),
         ),
     ).otherwise(F.array(F.array_join(words, " ")))
+    from inputosm_spark.operators import ensure_parallelism
+
+    documents = ensure_parallelism(documents)
     return documents.select("doc_id", F.explode(grams).alias("shingle")).distinct()
 
 
@@ -178,7 +181,9 @@ def simhash(documents: DataFrame, text_col: str = "text", bits: int = 16) -> Dat
     (+1 / -1 by hash bit) > 0. Declarative: explode tokens -> explode
     bit positions -> two-level groupBy, narrow rows only.
     """
-    tokens = documents.select(
+    from inputosm_spark.operators import ensure_parallelism
+
+    tokens = ensure_parallelism(documents).select(
         "doc_id",
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).distinct()
