@@ -144,7 +144,9 @@ def pip_join(
         if point_cell
         else cells.cell_id_expr("lat_e4", "lon_e4", res)
     )
-    pts = points.withColumn("__cell", cell_col)
+    from inputosm_spark.operators import ensure_parallelism
+
+    pts = ensure_parallelism(points).withColumn("__cell", cell_col)
 
     n_poly_cells = pcells.count()  # tiny aggregate; drives the plan choice
     # split the build side: interior ("full") cells join WITHOUT the
@@ -208,7 +210,9 @@ def knn_join(
     w_lat = (2 * geo.LAT_MAX_E4) // ny
     w_min = min(w_lon, w_lat)
 
-    pts = points.select(
+    from inputosm_spark.operators import ensure_parallelism
+
+    pts = ensure_parallelism(points).select(
         F.col(id_col).alias("__pid"),
         F.col("lat_e4").alias("__plat"),
         F.col("lon_e4").alias("__plon"),
