@@ -57,6 +57,7 @@ HEADLINE = [
     "wkt_export",
     "rollup_cells",
     "topk_dense_cells",
+    "rolling_fingerprint",
     "lineage_buckets",
     "json_props_agg",
     "sessionize",

@@ -109,3 +109,93 @@ def media_spans_features(documents: DataFrame, media: DataFrame, fake: bool = Tr
     )
     decoded = decode_media(media.join(refs, "media_ref", "left_semi"), fake=fake)
     return decoded
+
+
+RESIZED_SCHEMA = (
+    "media_ref string, ok boolean, out_width int, out_height int, "
+    "thumb binary"
+)
+
+
+def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32,
+                  fake: bool = False) -> DataFrame:
+    """Image resize stage as an Arrow mapInPandas pipeline.
+
+    Real implementation: PIL `Image.open(payload).resize((w,h))`. The
+    codec is STUBBED here (no image libs in this container): fake=True
+    produces a deterministic pseudo-thumbnail (md5-stream of the
+    payload, out_w*out_h bytes) so the Spark-side contract — schema,
+    batch iteration, byte-budget of the output column — is real.
+    """
+    import hashlib
+
+    from collections.abc import Iterator
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_bytes = out_w * out_h
+        for pdf in it:
+            thumbs, oks = [], []
+            for payload in pdf["payload"]:
+                if not fake:
+                    raise NotImplementedError(
+                        "image codecs unavailable; pass fake=True for the stub"
+                    )
+                buf = b""
+                seed = bytes(payload or b"")
+                while len(buf) < n_bytes:
+                    seed = hashlib.md5(seed).digest()
+                    buf += seed
+                thumbs.append(buf[:n_bytes])
+                oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "ok": oks,
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "thumb": thumbs,
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "media_ref string, frame_idx int, t_ms int, frame binary"
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  max_frames: int = 8, fake: bool = False) -> DataFrame:
+    """Video frame sampling as an Arrow mapInPandas pipeline (1 input
+    row -> N frame rows; output batches need not align with input rows,
+    which is exactly why this is mapInPandas, not a scalar UDF).
+
+    Real implementation: ffmpeg/pyav keyframe seek. Stub: one
+    deterministic pseudo-frame per `every_ms` of duration_ms, capped.
+    """
+    import hashlib
+
+    from collections.abc import Iterator
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            refs, idxs, ts, frames = [], [], [], []
+            for ref, payload, dur in zip(
+                pdf["media_ref"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if not fake:
+                    raise NotImplementedError(
+                        "video codecs unavailable; pass fake=True for the stub"
+                    )
+                n = min(max_frames, max(int(dur) // every_ms, 1))
+                for i in range(n):
+                    refs.append(ref)
+                    idxs.append(i)
+                    ts.append(i * every_ms)
+                    frames.append(
+                        hashlib.md5(bytes(payload or b"") + str(i).encode()).digest()
+                    )
+            yield pd.DataFrame(
+                {"media_ref": refs, "frame_idx": idxs, "t_ms": ts, "frame": frames}
+            )
+
+    return media.mapInPandas(batches, FRAMES_SCHEMA)

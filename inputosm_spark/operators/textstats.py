@@ -120,3 +120,32 @@ def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.xxhash64(norm).alias("fp_xx64"),
         (F.floor(F.size(F.split(norm, " ")) / 10) * 10).cast("long").alias("len_band"),
     )
+
+
+def rolling_fingerprint(documents: DataFrame, text_col: str = "text",
+                        k: int = 8, base: int = 31) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style): the MIN of
+    all k-char-gram polynomial hashes of the normalized text, plus the
+    gram count. Content-defined — insensitive to where the document
+    was split/shifted, the property winnowing exploits for dedup.
+
+    Pure integer column math (no Python): h(i) = fold over k chars of
+    acc*base + ascii(c); max value 255 * (31^7 + ... + 1) < 2^43, so
+    the fold stays exact in int64. The identical formula is emitted to
+    the DuckDB oracle.
+    """
+    from inputosm_spark.operators.dedup import normalize_text
+
+    norm = F.rpad(normalize_text(F.col(text_col)), k, " ")
+    n_pos = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    gram_hash = lambda i: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc * base + F.ascii(F.substr(norm, i + j, F.lit(1))),
+    )
+    hashes = F.transform(F.sequence(F.lit(1), n_pos), gram_hash)
+    return documents.select(
+        "doc_id",
+        F.array_min(hashes).alias("roll_min"),
+        n_pos.cast("long").alias("n_grams"),
+    )

@@ -1633,3 +1633,28 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang_pred", "quality")
     )
+
+
+@register(
+    "rolling_fingerprint",
+    oracle=f"""
+    WITH nd AS (
+      SELECT doc_id, rpad({_NORM_SQL}, 8, ' ') AS norm,
+             greatest(length(rpad({_NORM_SQL}, 8, ' ')) - 7, 1) AS n_pos
+      FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(range(1, n_pos + 1),
+             i -> list_reduce(
+                    list_transform(range(0, 8),
+                      j -> CAST(ascii(substr(norm, CAST(i + j AS INT), 1)) AS BIGINT)),
+                    (acc, x) -> acc * 31 + x)))
+             AS roll_min,
+           CAST(n_pos AS BIGINT) AS n_grams
+    FROM nd
+    """,
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint: min k-gram polynomial
+    hash per document — shift-insensitive dedup key."""
+    return textstats.rolling_fingerprint(_t(spark, sf_dir, "documents"))

@@ -68,3 +68,35 @@ def test_media_spans_features_joins_only_referenced(spark, sf_dir):
     n_refs = refs.count()
     assert out.count() == n_refs
     assert out.filter(~F.col("ok")).isEmpty()
+
+
+def test_resize_stub_shapes_and_determinism(spark):
+    media = multimodal.synth_media(spark, 32)
+    out = multimodal.resize_images(media, out_w=8, out_h=8, fake=True)
+    rows = out.collect()
+    assert len(rows) == 32
+    assert all(len(r.thumb) == 64 and r.ok for r in rows)
+    again = {r.media_ref: r.thumb for r in
+             multimodal.resize_images(media.repartition(5), 8, 8, fake=True).collect()}
+    assert {r.media_ref: r.thumb for r in rows} == again
+
+
+def test_resize_requires_explicit_stub(spark):
+    media = multimodal.synth_media(spark, 2)
+    with pytest.raises(Exception):
+        multimodal.resize_images(media, fake=False).collect()
+
+
+def test_frame_sampling_fanout(spark):
+    media = multimodal.synth_media(spark, 30)  # duration_ms = (id%30)*1000
+    out = multimodal.sample_frames(media, every_ms=1000, max_frames=8, fake=True)
+    per = {r.media_ref: r for r in
+           out.groupBy("media_ref").count().withColumnRenamed("count", "n").collect()}
+    # media://0 has duration 0 -> 1 frame; media://15 -> min(8, 15) = 8
+    assert per["media://0"].n == 1
+    assert per["media://15"].n == 8
+    assert per["media://5"].n == 5
+    # frame timestamps are the sample grid
+    f5 = sorted((r.frame_idx, r.t_ms) for r in
+                out.filter(F.col("media_ref") == "media://5").collect())
+    assert f5 == [(i, i * 1000) for i in range(5)]
