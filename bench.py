@@ -100,16 +100,24 @@ def main() -> int:
     # warm the JVM + parquet footers once with the cheapest query
     materialize(qs["count_all"](spark, sf_dir))
 
+    n_reps = int(os.environ.get("BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.monotonic()
         try:
-            materialize(fn(spark, sf_dir))
-            timings[name] = round(time.monotonic() - t0, 3)
+            best = None
+            # best-of-N: first run pays Python-worker spawn + JIT for
+            # that query's operators; steady state is the honest
+            # throughput number (same policy as scripts/scaling_job.py)
+            for _ in range(n_reps):
+                t0 = time.monotonic()
+                materialize(fn(spark, sf_dir))
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as e:  # one bad query must not kill the round
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
