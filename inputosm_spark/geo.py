@@ -313,12 +313,91 @@ def polyfill(poly_lat_e4, poly_lon_e4, res: int) -> np.ndarray:
     """
     _check_res(res)
     lat_lo, lat_hi, lon_lo, lon_hi = polygon_bbox_e4(poly_lat_e4, poly_lon_e4)
+    # a seam-split ring may have vertices exactly at +180 (see
+    # split_antimeridian); clamp the bbox corner so cell_xy doesn't
+    # wrap it to column 0 and empty the cover
+    lon_hi = min(lon_hi, LON_MAX_E4 - 1)
     x_lo, y_lo = cell_xy(np.int64(lat_lo), np.int64(lon_lo), res)
     x_hi, y_hi = cell_xy(np.int64(lat_hi), np.int64(lon_hi), res)
     xs = np.arange(int(x_lo), int(x_hi) + 1, dtype=np.int64)
     ys = np.arange(int(y_lo), int(y_hi) + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
     return pack_cell(np.full(gx.size, res, dtype=np.int64), gy.ravel(), gx.ravel())
+
+
+def split_antimeridian(poly_lat_e4, poly_lon_e4):
+    """Split a ring that crosses the antimeridian into seam-free rings.
+
+    Longitudes are unwrapped edge-by-edge (each step takes the short
+    way around), then the unwrapped ring is clipped to each 360-degree
+    band it touches (Sutherland–Hodgman against the band's two
+    meridians) and shifted back into [-180, 180). Rings that never
+    leave the band are returned unchanged. Seam-interpolated vertices
+    are rounded to the e4 grid (≤ 1 unit drift along the seam only).
+
+    Returns a list of (lat_e4, lon_e4) int64 array pairs (open rings).
+    """
+    vy = np.asarray(poly_lat_e4, np.int64)
+    vx = np.asarray(poly_lon_e4, np.int64)
+    if len(vx) > 1 and vx[0] == vx[-1] and vy[0] == vy[-1]:
+        vx, vy = vx[:-1], vy[:-1]
+    world = 2 * LON_MAX_E4
+    # unwrap: consecutive steps take the short way
+    d = np.diff(vx.astype(np.float64))
+    d -= np.round(d / world) * world
+    ux = np.concatenate([[float(vx[0])], float(vx[0]) + np.cumsum(d)])
+    if ux.min() >= -LON_MAX_E4 and ux.max() < LON_MAX_E4:
+        return [(vy.copy(), vx.copy())]
+
+    def clip_halfplane(pts, keep):
+        """Sutherland–Hodgman against one half-plane. pts: list of
+        (x, y) float; keep(x) -> bool; edge crossings interpolated."""
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur, prev = pts[i], pts[i - 1]
+            cin, pin = keep(cur[0]), keep(prev[0])
+            if cin != pin:
+                # boundary value of x where keep flips is supplied by
+                # the caller through keep.boundary
+                bx = keep.boundary
+                t = (bx - prev[0]) / (cur[0] - prev[0])
+                out.append((bx, prev[1] + t * (cur[1] - prev[1])))
+            if cin:
+                out.append(cur)
+        return out
+
+    bands = range(
+        int(np.floor((ux.min() + LON_MAX_E4) / world)),
+        int(np.floor((ux.max() + LON_MAX_E4) / world)) + 1,
+    )
+    pts0 = list(zip(ux.tolist(), vy.astype(np.float64).tolist()))
+    rings = []
+    for k in bands:
+        lo, hi = k * world - LON_MAX_E4, k * world + LON_MAX_E4
+
+        def keep_lo(x, _lo=lo):
+            return x >= _lo
+
+        keep_lo.boundary = float(lo)
+
+        def keep_hi(x, _hi=hi):
+            return x <= _hi
+
+        keep_hi.boundary = float(hi)
+
+        clipped = clip_halfplane(clip_halfplane(pts0, keep_lo), keep_hi)
+        if len(clipped) < 3:
+            continue
+        cx = np.array([p[0] for p in clipped]) - k * world
+        cy = np.array([p[1] for p in clipped])
+        # vertices ON the +180 meridian stay at +LON_MAX: geometry is
+        # plain integer space (no wrap); no POINT has lon == +LON_MAX
+        # (points live in [-LON_MAX, LON_MAX)), so coverage is intact
+        rings.append(
+            (np.rint(cy).astype(np.int64), np.rint(cx).astype(np.int64))
+        )
+    return rings
 
 
 # ---------------------------------------------------------------------------

@@ -67,6 +67,45 @@ def _polyfill_udf(res: int):
     return _fill
 
 
+_RING = ArrayType(
+    StructType(
+        [
+            StructField("ring_lat_e4", ArrayType(LongType()), False),
+            StructField("ring_lon_e4", ArrayType(LongType()), False),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_RING)
+def _split_seam(ring_lat: pd.Series, ring_lon: pd.Series) -> pd.Series:
+    """Antimeridian splitter: rings crossing lon ±180 become one
+    seam-free sub-ring per 360° band (geo.split_antimeridian);
+    non-crossing rings pass through unchanged."""
+    out = []
+    for la, lo in zip(ring_lat, ring_lon):
+        parts = geo.split_antimeridian(np.asarray(la), np.asarray(lo))
+        out.append(
+            [
+                {"ring_lat_e4": p[0].tolist(), "ring_lon_e4": p[1].tolist()}
+                for p in parts
+            ]
+        )
+    return pd.Series(out)
+
+
+def split_seam_polygons(polygons: DataFrame) -> DataFrame:
+    """One row per seam-free sub-ring (poly_id preserved, so a point in
+    ANY sub-ring joins to the original polygon id)."""
+    return polygons.select(
+        "poly_id", F.explode(_split_seam("ring_lat_e4", "ring_lon_e4")).alias("r")
+    ).select(
+        "poly_id",
+        F.col("r.ring_lat_e4").alias("ring_lat_e4"),
+        F.col("r.ring_lon_e4").alias("ring_lon_e4"),
+    )
+
+
 def polygon_cells(polygons: DataFrame, res: int) -> DataFrame:
     """polygons -> (poly_id, ring_lat_e4, ring_lon_e4, cell, full)
     exploded covering-cell rows. The cover is exact-classified
@@ -74,7 +113,7 @@ def polygon_cells(polygons: DataFrame, res: int) -> DataFrame:
     polygon (no refine needed), non-full cells are boundary cells that
     the exact ray-cast refine resolves after the equi-join.
     """
-    return polygons.withColumn(
+    return split_seam_polygons(polygons).withColumn(
         "cf", F.explode(_polyfill_udf(res)("ring_lat_e4", "ring_lon_e4"))
     ).select("*", F.col("cf.cell").alias("cell"), F.col("cf.full").alias("full")).drop(
         "cf"
@@ -126,10 +165,10 @@ def pip_join(
     Returns points' columns + poly_id for every (point, polygon)
     containment pair (half-open boundary rule, see geo.point_in_polygon).
 
-    Known limitation: polygon rings must not cross the antimeridian
-    (lon +/-180) — the polyfill bbox does not wrap. Split such rings at
-    the seam before calling (the point side wraps fine; only the
-    polygon cover is seam-naive).
+    Antimeridian-safe: rings crossing lon +/-180 are split into
+    seam-free sub-rings per 360-degree band before polyfill
+    (split_seam_polygons / geo.split_antimeridian), so coverage and
+    containment hold on both sides of the seam.
 
     Physical strategy: polygon covering cells are counted; below
     `broadcast_threshold` exploded rows the polygon side is broadcast

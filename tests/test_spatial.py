@@ -138,3 +138,44 @@ def test_pip_plan_broadcasts_small_polygons(spark, points):
     polys = synth_polygons(spark)
     plan = spatial.pip_join(points, polys, res=6)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pip_join_antimeridian_polygon(spark):
+    """A box crossing lon ±180 (170E..170W) must match points on BOTH
+    sides of the seam and nothing in the middle of the world."""
+    import numpy as np
+    from inputosm_spark.operators import spatial as sp
+
+    # ring written in wrap form: 1700000 .. -1700000
+    polys = spark.createDataFrame(
+        [("seam", [-100000, -100000, 100000, 100000, -100000],
+          [1700000, -1700000, -1700000, 1700000, 1700000])],
+        "poly_id string, ring_lat_e4 array<long>, ring_lon_e4 array<long>",
+    )
+    pts_rows = [
+        (1, 0, 1750000),     # east of seam -> inside
+        (2, 0, -1750000),    # west of seam -> inside
+        (3, 0, 0),           # middle of world -> outside
+        (4, 0, 1650000),     # east, before the box -> outside
+        (5, 150000, 1750000),  # north of the box -> outside
+        (6, -99999, 1799999),  # just inside both bounds
+    ]
+    pts = spark.createDataFrame(
+        pts_rows, "doc_id long, lat_e4 long, lon_e4 long"
+    )
+    got = {
+        r.doc_id
+        for r in sp.pip_join(pts, polys, res=6).select("doc_id").collect()
+    }
+    assert got == {1, 2, 6}
+
+    # splitter sanity: two seam-free sub-rings, none spanning the seam
+    from inputosm_spark import geo
+
+    parts = geo.split_antimeridian(
+        np.array([-100000, -100000, 100000, 100000]),
+        np.array([1700000, -1700000, -1700000, 1700000]),
+    )
+    assert len(parts) == 2
+    for la, lo in parts:
+        assert lo.max() - lo.min() < 2 * geo.LON_MAX_E4 / 2  # < half world
