@@ -227,6 +227,7 @@ def knn_join(
     max_rounds: int = 4,
     id_col: str = "id",
     qid_col: str = "qid",
+    auto_ring: bool = True,
 ) -> DataFrame:
     """k nearest points for each query row, exact.
 
@@ -265,6 +266,24 @@ def knn_join(
     )
     results = None
     ring = 1
+    if auto_ring:
+        # density-aware starting ring: one cheap agg over the point
+        # side estimates points per OCCUPIED cell; pick the smallest
+        # ring whose (2r+1)^2 cells are expected to hold ~2k points,
+        # skipping escalation rounds that predictably come up short
+        # (clustered data makes the occupied-cell average the right
+        # density, not the whole-world one)
+        stats = pts.agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("__cell", 0.05).alias("c"),
+        ).first()
+        if stats.n and stats.c:
+            per_cell = max(stats.n / stats.c, 1e-9)
+            import math
+
+            ring = max(1, math.ceil((math.sqrt(2 * k / per_cell) - 1) / 2))
+            # never start beyond what max_rounds' doubling could reach
+            ring = min(ring, 2 ** (max_rounds - 1))
     for _ in range(max_rounds):
         cand = (
             remaining.withColumn(
