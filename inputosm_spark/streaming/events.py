@@ -254,3 +254,54 @@ def run_sessionize_stream(events: DataFrame, checkpoint_path: str, out_path: str
     )
     q.awaitTermination()
     return q
+
+
+# ---------------------------------------------------------------------------
+# streaming spatial rollup: hot-cell monitor
+# ---------------------------------------------------------------------------
+
+
+def hot_cell_counts(
+    events: DataFrame, res: int = 5, window: str = "1 hour",
+    watermark: str = "2 hours", min_count: int = 1
+) -> DataFrame:
+    """Streaming hot-cell monitor (north_star composition): assign each
+    event a grid cell from its user's deterministic point, then run a
+    watermarked tumbling-window count per cell — the live view of the
+    skew detector (`operators/skew.hot_keys`) over a stream. The cell
+    math is the same codegen'd Catalyst expression as the batch path;
+    state per executor is bounded by (watermark + window) x occupied
+    cells.
+    """
+    from inputosm_spark.functions import cells
+
+    lat, lon = cells.point_exprs("user_id")
+    keyed = events.select(
+        "ts", cells.cell_id_expr(lat, lon, res).alias("cell")
+    )
+    return (
+        keyed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "cell")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "cell",
+            "n",
+        )
+    )
+
+
+def run_hot_cell_stream(events: DataFrame, checkpoint_path: str, out_path: str):
+    """Drain the hot-cell monitor to parquet (availableNow)."""
+    q = (
+        hot_cell_counts(events)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -146,3 +146,31 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got.count() == expected.count()
     assert got.exceptAll(expected).isEmpty() and expected.exceptAll(got).isEmpty()
+
+
+def test_hot_cell_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming hot-cell counts equal the batch groupBy for every
+    watermark-closed window."""
+    from inputosm_spark.functions import cells
+
+    src = stream_ops.read_event_stream(spark, _events_dir(sf_dir, tmp_path))
+    out = str(tmp_path / "hot_out")
+    stream_ops.run_hot_cell_stream(src, str(tmp_path / "hot_ckpt"), out)
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+
+    ev = spark.read.parquet(_events_path(sf_dir))
+    lat, lon = cells.point_exprs("user_id")
+    expected = (
+        ev.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour_start"),
+            cells.cell_id_expr(lat, lon, 5).alias("cell"),
+        )
+        .groupBy("hour_start", "cell")
+        .agg(F.count("*").alias("n"))
+    )
+    joined = got.join(expected, ["hour_start", "cell"], "inner").filter(
+        got.n == expected.n
+    )
+    assert joined.count() == got.count()
