@@ -50,6 +50,7 @@ HEADLINE = [
     "embedding_lsh_sig",
     "ann_lsh_topk",
     "embedding_near_dup",
+    "ivf_topk",
     "quality_score",
     "training_pipeline",
     "media_edges",

@@ -198,3 +198,106 @@ def near_dup_pairs(
         pairs.select("vec_a", "vec_b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame, round_scale: int = 4) -> DataFrame:
+    """(vec_id, cid): each vector's nearest centroid by cosine
+    (broadcast centroids — the coarse quantizer is always tiny relative
+    to the corpus). Ties break on centroid id for determinism."""
+    c = F.broadcast(
+        centroids.select(
+            F.col("vec_id").alias("cid"),
+            _as_double(F.col("embedding")).alias("cvec"),
+            _norm(_as_double(F.col("embedding"))).alias("cnrm"),
+        )
+    )
+    v = corpus.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("vec"),
+        _norm(_as_double(F.col("embedding"))).alias("nrm"),
+    )
+    scored = v.crossJoin(c).select(
+        "vec_id", "cid",
+        F.round(_dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm")),
+                round_scale).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    round_scale: int = 4,
+) -> DataFrame:
+    """IVF approximate NN: coarse-quantize the corpus into centroid
+    buckets, probe each query's n_probe nearest buckets, rank exactly
+    inside them. The 10^12-scale shape: the corpus is range-partitioned
+    by cid (one shuffle at build time, amortized over all queries) and
+    a query touches n_probe/n_centroids of it instead of everything.
+
+    Centroids here are the deterministic first-N corpus vectors (a
+    reproducible stand-in for an offline k-means "training" step — at
+    real scale the centroid table is produced by a separate job and
+    this function is unchanged).
+    """
+    centroids = corpus.filter(F.col("vec_id") < n_centroids)
+    assign = ivf_assign(corpus, centroids, round_scale)
+
+    # query-side probes: top n_probe centroid buckets
+    qprobe = ivf_assign(queries, centroids, round_scale)  # rank-1 only
+    c = F.broadcast(
+        centroids.select(
+            F.col("vec_id").alias("cid"),
+            _as_double(F.col("embedding")).alias("cvec"),
+            _norm(_as_double(F.col("embedding"))).alias("cnrm"),
+        )
+    )
+    q = queries.select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("qvec"),
+        _norm(_as_double(F.col("embedding"))).alias("qnrm"),
+    )
+    probes = (
+        q.select("qid", "qvec", "qnrm")
+        .crossJoin(c)
+        .select(
+            "qid", "cid",
+            F.round(_dot(F.col("qvec"), F.col("cvec"))
+                    / (F.col("qnrm") * F.col("cnrm")), round_scale).alias("pcos"),
+        )
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("pcos"), F.asc("cid"))
+    probes = (
+        probes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select("qid", "cid")
+    )
+
+    cvecs = corpus.select(
+        F.col("vec_id").alias("nid"),
+        _as_double(F.col("embedding")).alias("nvec"),
+        _norm(_as_double(F.col("embedding"))).alias("nnrm"),
+    ).join(assign.withColumnRenamed("vec_id", "nid"), "nid")
+
+    cand = probes.join(cvecs, "cid").join(q, "qid").filter(
+        F.col("qid") != F.col("nid")
+    )
+    scored = cand.select(
+        "qid", "nid",
+        F.round(_dot(F.col("qvec"), F.col("nvec"))
+                / (F.col("qnrm") * F.col("nnrm")), round_scale).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("nid").alias("neighbor_id"), "cos", "rank")
+    )

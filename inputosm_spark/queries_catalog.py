@@ -1658,3 +1658,53 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint: min k-gram polynomial
     hash per document — shift-insensitive dedup key."""
     return textstats.rolling_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return _COS_SQL.replace("q.", f"{a}.").replace("c.", f"{b}.")
+
+
+@register(
+    "ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e', 'c')} DESC, c.cid) AS rn
+        FROM embeddings e, cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT qid, cid FROM (
+        SELECT e.vec_id AS qid, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e', 'c')} DESC, c.cid) AS pr
+        FROM embeddings e, cent c
+      ) WHERE pr <= 2
+    ),
+    scored AS (
+      SELECT p.qid, a.vec_id AS neighbor_id, {_cos_sql('q', 'n')} AS cos,
+             row_number() OVER (PARTITION BY p.qid
+                                ORDER BY {_cos_sql('q', 'n')} DESC, a.vec_id)
+               AS rank
+      FROM probes p
+      JOIN assign a ON a.cid = p.cid AND a.vec_id != p.qid
+      JOIN embeddings q ON q.vec_id = p.qid
+      JOIN embeddings n ON n.vec_id = a.vec_id
+    )
+    SELECT qid, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 3
+    """,
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the second scale path next to hyperplane LSH): coarse
+    centroid buckets, n_probe=2 probing, exact in-bucket ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb, emb, k=3, n_centroids=8, n_probe=2,
+                              round_scale=4)
+    return out.select("qid", "neighbor_id", "cos",
+                      F.col("rank").cast("int").alias("rank"))
