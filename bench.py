@@ -59,6 +59,8 @@ HEADLINE = [
     "rollup_cells",
     "topk_dense_cells",
     "rolling_fingerprint",
+    "winnow_sketch",
+    "pip_join_shuffle",
     "lineage_buckets",
     "json_props_agg",
     "sessionize",

@@ -6,6 +6,8 @@ every one oracle-checkable in DuckDB.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -122,6 +124,19 @@ def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _gram_hashes(text: str, k: int, base: int):
+    """All k-gram polynomial hashes of one string, fully vectorized:
+    codepoints via utf-32 view, Horner fold across k shifted slices."""
+    if len(text) < k:
+        text = text + " " * (k - len(text))
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    n_pos = len(cp) - k + 1
+    h = np.zeros(n_pos, dtype=np.int64)
+    for j in range(k):  # k=8 iterations, each vectorized over all positions
+        h = h * base + cp[j : j + n_pos]
+    return h
+
+
 def rolling_fingerprint(documents: DataFrame, text_col: str = "text",
                         k: int = 8, base: int = 31) -> DataFrame:
     """Rolling-hash document fingerprint (winnowing-style): the MIN of
@@ -129,23 +144,63 @@ def rolling_fingerprint(documents: DataFrame, text_col: str = "text",
     gram count. Content-defined — insensitive to where the document
     was split/shifted, the property winnowing exploits for dedup.
 
-    Pure integer column math (no Python): h(i) = fold over k chars of
-    acc*base + ascii(c); max value 255 * (31^7 + ... + 1) < 2^43, so
-    the fold stays exact in int64. The identical formula is emitted to
-    the DuckDB oracle.
+    Normalization runs as a column expression; the hash kernel is a
+    vectorized Arrow pandas UDF (numpy Horner fold over codepoints —
+    a higher-order-function formulation re-evaluates the normalize
+    regex per character because HOF lambdas execute interpreted,
+    ~40x slower). Identical integer formula in the DuckDB oracle.
     """
+    from pyspark.sql.types import LongType
+
+    from inputosm_spark.operators import ensure_parallelism
     from inputosm_spark.operators.dedup import normalize_text
 
-    norm = F.rpad(normalize_text(F.col(text_col)), k, " ")
-    n_pos = F.greatest(F.length(norm) - (k - 1), F.lit(1))
-    gram_hash = lambda i: F.aggregate(  # noqa: E731
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc * base + F.ascii(F.substr(norm, i + j, F.lit(1))),
+    @F.pandas_udf(LongType())
+    def _roll_min(norm: pd.Series) -> pd.Series:
+        return norm.map(lambda s: int(_gram_hashes(s, k, base).min()))
+
+    @F.pandas_udf(LongType())
+    def _n_grams(norm: pd.Series) -> pd.Series:
+        return norm.map(lambda s: max(len(s) - (k - 1), 1))
+
+    staged = ensure_parallelism(documents).select(
+        "doc_id", normalize_text(F.col(text_col)).alias("__norm")
     )
-    hashes = F.transform(F.sequence(F.lit(1), n_pos), gram_hash)
-    return documents.select(
+    return staged.select(
         "doc_id",
-        F.array_min(hashes).alias("roll_min"),
-        n_pos.cast("long").alias("n_grams"),
+        _roll_min("__norm").alias("roll_min"),
+        _n_grams("__norm").alias("n_grams"),
     )
+
+
+def winnow_sketch(documents: DataFrame, text_col: str = "text",
+                  k: int = 8, w: int = 4, base: int = 31) -> DataFrame:
+    """Winnowing sketch (the full algorithm behind rolling_fingerprint):
+    the DISTINCT minima of every w-window of consecutive k-gram rolling
+    hashes, one row per (doc_id, minhash). Guarantees any shared
+    substring of length >= k + w - 1 between two documents yields a
+    shared sketch hash — the partial-overlap dedup primitive.
+
+    Same Arrow-UDF kernel as rolling_fingerprint; window minima via a
+    numpy sliding-window view (no per-row Python in the hot loop).
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    from inputosm_spark.operators import ensure_parallelism
+    from inputosm_spark.operators.dedup import normalize_text
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _minima(norm: pd.Series) -> pd.Series:
+        def one(s: str):
+            h = _gram_hashes(s, k, base)
+            if len(h) <= w:
+                return [int(h.min())]
+            win = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+            return np.unique(win).tolist()
+
+        return norm.map(one)
+
+    staged = ensure_parallelism(documents).select(
+        "doc_id", normalize_text(F.col(text_col)).alias("__norm")
+    )
+    return staged.select("doc_id", F.explode(_minima("__norm")).alias("minhash"))

@@ -1639,8 +1639,11 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling_fingerprint",
     oracle=f"""
     WITH nd AS (
-      SELECT doc_id, rpad({_NORM_SQL}, 8, ' ') AS norm,
-             greatest(length(rpad({_NORM_SQL}, 8, ' ')) - 7, 1) AS n_pos
+      SELECT doc_id,
+             {_NORM_SQL} || repeat(' ', greatest(0, 8 - length({_NORM_SQL})))
+               AS norm,
+             greatest(length({_NORM_SQL} || repeat(' ',
+               greatest(0, 8 - length({_NORM_SQL})))) - 7, 1) AS n_pos
       FROM documents
     )
     SELECT doc_id,
@@ -1708,3 +1711,64 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                               round_scale=4)
     return out.select("qid", "neighbor_id", "cos",
                       F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "pip_join_shuffle",
+    oracle=f"""
+    WITH pts AS (SELECT doc_id, {_LAT_SQL} AS lat_e4, {_LON_SQL} AS lon_e4
+                 FROM documents),
+         boxes AS ({_BOX_SQL})
+    SELECT p.doc_id, b.poly_id
+    FROM pts p JOIN boxes b
+      ON p.lat_e4 >= b.lat0 AND p.lat_e4 < b.lat1
+     AND p.lon_e4 >= b.lon0 AND p.lon_e4 < b.lon1
+    """,
+)
+def q_pip_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PIP join's SHUFFLE physical path (broadcast_threshold=0
+    forces the sort-merge/AQE-skew plan used when the polygon side is
+    too big to broadcast) — must produce byte-identical results to the
+    broadcast path (same oracle as pip_join_boxes)."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    pts = docs.select("doc_id", lat, lon)
+    return spatial.pip_join(
+        pts, _box_polygons(spark), res=6, broadcast_threshold=0
+    ).select("doc_id", "poly_id")
+
+
+@register(
+    "winnow_sketch",
+    oracle=f"""
+    WITH nd AS (
+      SELECT doc_id,
+             {_NORM_SQL} || repeat(' ', greatest(0, 8 - length({_NORM_SQL})))
+               AS norm,
+             greatest(length({_NORM_SQL} || repeat(' ',
+               greatest(0, 8 - length({_NORM_SQL})))) - 7, 1) AS n_pos
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, n_pos,
+             list_transform(range(1, n_pos + 1),
+               i -> list_reduce(
+                      list_transform(range(0, 8),
+                        j -> CAST(ascii(substr(norm, CAST(i + j AS INT), 1))
+                                  AS BIGINT)),
+                      (acc, x) -> acc * 31 + x)) AS hashes
+      FROM nd
+    )
+    SELECT DISTINCT doc_id, minhash FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(n_pos - 3, 1) + 1),
+               i -> list_min(hashes[CAST(i AS INT) : CAST(i + 3 AS INT)])))
+               AS minhash
+      FROM h
+    )
+    """,
+)
+def q_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing sketch rows: distinct w-window minima of k-gram
+    rolling hashes — shared-substring dedup keys."""
+    return textstats.winnow_sketch(_t(spark, sf_dir, "documents"))
