@@ -236,6 +236,7 @@ def ivf_topk(
     n_centroids: int = 8,
     n_probe: int = 2,
     round_scale: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate NN: coarse-quantize the corpus into centroid
     buckets, probe each query's n_probe nearest buckets, rank exactly
@@ -248,7 +249,8 @@ def ivf_topk(
     real scale the centroid table is produced by a separate job and
     this function is unchanged).
     """
-    centroids = corpus.filter(F.col("vec_id") < n_centroids)
+    if centroids is None:
+        centroids = corpus.filter(F.col("vec_id") < n_centroids)
     assign = ivf_assign(corpus, centroids, round_scale)
 
     # query-side probes: top n_probe centroid buckets
@@ -301,3 +303,49 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", F.col("nid").alias("neighbor_id"), "cos", "rank")
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame, k: int = 8, iters: int = 3, round_scale: int = 4
+) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding column — the real
+    "training" job behind ivf_topk's coarse quantizer.
+
+    Deterministic end to end: init = the k lowest vec_ids, assignment
+    ties break on centroid id, and a fixed iteration count (no
+    convergence RNG). Each iteration is one broadcast-join assignment
+    pass + one posexplode/groupBy mean — the canonical Spark k-means
+    shape (centroid table always tiny, corpus never replicated).
+    Iterations are localCheckpoint-severed so the plan stays shallow.
+    """
+    cent = corpus.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"),
+        _as_double(F.col("embedding")).alias("cvec"),
+    )
+    dims = corpus.select(F.size("embedding").alias("d")).first().d
+    for _ in range(iters):
+        assign = ivf_assign(
+            corpus,
+            cent.select(F.col("cid").alias("vec_id"),
+                        F.col("cvec").alias("embedding")),
+            round_scale,
+        )
+        per_dim = (
+            corpus.join(assign, "vec_id")
+            .select("cid", F.posexplode(_as_double(F.col("embedding")))
+                    .alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("v").alias("m"))
+        )
+        cent = (
+            per_dim.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.m,
+                ).alias("cvec")
+            )
+            .localCheckpoint(eager=True)
+        )
+        assert dims  # documented: all embeddings share one dimension
+    return cent.select("cid", F.col("cvec").alias("embedding"))

@@ -1772,3 +1772,21 @@ def q_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing sketch rows: distinct w-window minima of k-gram
     rolling hashes — shared-substring dedup keys."""
     return textstats.winnow_sketch(_t(spark, sf_dir, "documents"))
+
+
+@register("ivf_kmeans_topk")  # iterative float means: rows-only check
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with REAL trained centroids: 2 Lloyd iterations of
+    distributed k-means feed the coarse quantizer (float means are
+    summation-order-dependent across engines, so this entry is
+    rows-only; the fixed-centroid ivf_topk carries the exact oracle
+    and tests/test_similarity_kmeans.py proves trainer quality)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=8, iters=2).select(
+        F.col("cid").alias("vec_id"), "embedding"
+    )
+    out = similarity.ivf_topk(
+        emb.filter(F.col("vec_id") < 50), emb, k=3, n_probe=2, centroids=cents
+    )
+    return out.select("qid", "neighbor_id", "cos",
+                      F.col("rank").cast("int").alias("rank"))
