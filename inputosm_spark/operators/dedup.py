@@ -18,7 +18,7 @@ both Spark and DuckDB, which makes every stage oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -73,20 +73,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig_0..sig_{n-1}): MinHash signature columns.
 
-    One shuffle (groupBy doc_id); each hash family member is
-    md5(seed || shingle) and the per-doc min is taken — all JVM-side.
+    One shuffle (groupBy doc_id). One md5 digest is 128 bits = four
+    independent 32-bit sub-hashes, so hash family member i is the
+    8-hex-char slice i%4 of digest md5((i//4) || shingle) — ONE md5
+    per shingle per 4 families instead of one per family (the min of a
+    hex slice is the min of its 32-bit value: hex compares bytewise).
+    All JVM-side, engine-neutral (md5 + substr exist everywhere).
     """
+    digests = {
+        d: F.md5(F.concat(F.lit(str(d)), F.lit("|"), F.col("shingle")))
+        for d in range((n_hashes + 3) // 4)
+    }
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))).alias(
-            f"sig_{i}"
-        )
+        F.min(digests[i // 4].substr(8 * (i % 4) + 1, 8)).alias(f"sig_{i}")
         for i in range(n_hashes)
     ]
     return shingled.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 2
+    signatures: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band.
 
@@ -94,6 +103,17 @@ def lsh_candidate_pairs(
     (band_idx, band_value); pairs emitted within buckets via a
     self-equi-join on the bucket key (never a cross join), distinct
     across bands. doc_a < doc_b canonical order.
+
+    `max_bucket` caps bucket size: a degenerate band value (e.g. empty
+    docs all sharing one signature) otherwise makes an O(b²) pair
+    blow-up — buckets above the cap are dropped entirely (the standard
+    LSH skew guard: a bucket that large is not a useful near-dup
+    signal, and at 100 TB it is the task that never finishes). The
+    rule is a plain count predicate, so the oracle replays it.
+
+    The bucket table feeds both sides of the self-join (and the cap's
+    count); Spark has no cross-branch subplan sharing, so cache it —
+    one shingle+minhash pass instead of two/three.
     """
     bands = []
     for b in range(n_bands):
@@ -110,6 +130,14 @@ def lsh_candidate_pairs(
     bucketed = bands[0]
     for extra in bands[1:]:
         bucketed = bucketed.unionAll(extra)
+    bucketed = bucketed.cache()
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "band_val")
+        bucketed = (
+            bucketed.withColumn("__bn", F.count("*").over(wb))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     left = bucketed.alias("a")
     right = bucketed.alias("b")
     return (
@@ -178,8 +206,14 @@ def simhash(documents: DataFrame, text_col: str = "text", bits: int = 16) -> Dat
     Token hash bit j = bit (j%4) of the (j//4)-th md5 hex digit of the
     token — engine-neutral (md5 exists in Spark and DuckDB), unlike
     xxhash64. Signature bit j is 1 iff sum over distinct tokens of
-    (+1 / -1 by hash bit) > 0. Declarative: explode tokens -> explode
-    bit positions -> two-level groupBy, narrow rows only.
+    (+1 / -1 by hash bit) > 0.
+
+    Scale shape: ONE md5 per token and ONE groupBy(doc_id) carrying
+    `bits` small sum aggregates — the shuffle is (doc_id, 16 ints) per
+    distinct token, not the 16x exploded (doc_id, bit) stream of the
+    naive formulation (which was the first shuffle to fall over at
+    100x corpus). All signs are derived from the single hex digest by
+    per-bit constant expressions (codegen'd, no Python).
     """
     from inputosm_spark.operators import ensure_parallelism
 
@@ -187,36 +221,27 @@ def simhash(documents: DataFrame, text_col: str = "text", bits: int = 16) -> Dat
         "doc_id",
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).distinct()
-    # bit j of the token hash = (hexdigit(j//4) // 2^(j%4)) % 2 —
-    # shift-by-column isn't a Spark builtin, so divide by a looked-up
-    # power of two (exact small-int math, same formula in the oracle)
-    pow2 = F.element_at(
-        F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8)),
-        (F.pmod("bit", F.lit(4)) + 1).cast("int"),
-    )
-    digit = _hex_digit(
-        F.col("h").substr((F.col("bit") / 4).cast("int") + 1, F.lit(1))
-    )
-    per_bit = tokens.select(
+    h = F.md5("tok")
+    # sign_j = +1 iff bit (j%4) of hex digit (j//4) is set — constants
+    # j are literals, so each sign is a cheap codegen'd expression
+    signs = tokens.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        F.md5("tok").alias("h"),
-    ).select(
-        "doc_id",
-        "bit",
-        F.when(F.pmod(F.floor(digit / pow2), F.lit(2)) == 1, 1)
-        .otherwise(-1)
-        .alias("sign"),
+        *[
+            F.when(
+                F.pmod(F.floor(_hex_digit(h.substr(j // 4 + 1, 1)) / F.lit(2 ** (j % 4))),
+                       F.lit(2)) == 1,
+                1,
+            ).otherwise(-1).alias(f"b{j}")
+            for j in range(bits)
+        ],
     )
-    return (
-        per_bit.groupBy("doc_id", "bit")
-        .agg(F.sum("sign").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
-                ).otherwise(0)
-            ).alias("simhash")
+    summed = signs.groupBy("doc_id").agg(
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(bits)]
+    )
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
+        sig = term if sig is None else sig + term
+    return summed.select("doc_id", sig.alias("simhash"))

@@ -1,39 +1,177 @@
 """Similarity search over embedding columns (array<float>).
 
 Brute-force cosine top-k as the exactness baseline; random-hyperplane
-LSH bucketing as the scale path (candidates only within matching
-buckets). Dot products run JVM-side via zip_with/aggregate — no
-Python; the LSH hyperplanes are deterministic (derived from xxhash64
-of the dimension index), so results are reproducible and the bucket
-assignment is oracle-checkable.
+LSH bucketing and IVF centroid buckets as the scale paths (candidates
+only within matching buckets).
+
+Kernel design (round 2): embeddings are promoted ONCE to fixed-point
+int64 (`round(x * 1e6)`, Catalyst-side so the rounding rule matches
+the oracle engine's `round`), and dot products are EXACT integer sums
+computed by Arrow-vectorized numpy kernels. Exact integer sums are
+summation-order independent, so DuckDB replays them bit-for-bit with
+`list_dot_product` over the same fixed-point lists (all products and
+partial sums < 2^53, hence exact even through float64 BLAS matmul).
+
+Data-movement rule learned from benchmarking: never ship BOTH vectors
+per candidate PAIR through Arrow (pairs x 2 x d x 8 bytes explodes).
+Instead each pairwise stage is a bucket-local GEMM: cogroup the two
+sides on the bucket key (lsh_sig / centroid id), multiply the stacked
+matrices once per bucket, and emit only narrow (qid, nid, dot, norms)
+rows. Each vector crosses the Arrow boundary once per bucket it
+belongs to, not once per pair.
+
+Determinism split: Python emits ONLY exact int64 (dots, norm squares);
+every float op (sqrt, divide, round) and every ranking decision stays
+in Catalyst, where the semantics match the DuckDB oracle exactly.
+
+Reference parity: the reference has no vector search; these operators
+are the graft surface (SURVEY.md §2 "LLM-data-pipeline" rows). The
+bucketing shapes are the 100 TB design: candidate work scales with
+bucket collisions, never corpus².
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+FP_SCALE = 1_000_000  # fixed-point scale: |x|<=1, d<=512 keeps dots < 2^53
+
+_PAIR_SCHEMA = "qid long, nid long, dot long, qns long, cns long"
 
 
-def _as_double(a) -> F.Column:
-    # float32 arithmetic differs across engines; promote once, up front
-    return F.transform(a, lambda x: x.cast("double"))
-
-
-def _dot(a, b) -> F.Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, v: acc + v,
+def fp_vec(col) -> F.Column:
+    """array<float> -> array<long> fixed point. The round happens in
+    Catalyst (HALF_UP == DuckDB round: half away from zero) on the
+    float32->double-exact value, so both engines see identical ints."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * F.lit(float(FP_SCALE))).cast("long")
     )
 
 
-def _norm(a) -> F.Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x * x),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
+@pandas_udf(LongType())
+def dot_fp(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact int64 dot product, vectorized over the Arrow batch (row-
+    aligned pairs; for bucket x bucket work use the GEMM kernels)."""
+    if len(a) == 0:
+        return pd.Series([], dtype="int64")
+    A = np.stack(a.to_numpy()).astype(np.float64)
+    B = np.stack(b.to_numpy()).astype(np.float64)
+    # float64 products/sums of ints < 2^53 are exact -> back to int64
+    return pd.Series(np.einsum("ij,ij->i", A, B).astype(np.int64))
+
+
+def _make_sig_udf(n_planes: int):
+    """Hyperplane-signature kernel: all planes in one matmul.
+
+    Plane p's normal has ±1 component on dimension d with sign from the
+    deterministic modular hash ((d*40503 + p*2654435761) % 97) % 2 —
+    plain integer math on the fixed-point vector, so the signature is
+    an exact integer computation any SQL engine replays."""
+
+    @pandas_udf(LongType())
+    def sig(iv: pd.Series) -> pd.Series:
+        if len(iv) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.stack(iv.to_numpy()).astype(np.float64)  # (n, d)
+        d = V.shape[1]
+        pp = np.arange(n_planes, dtype=np.int64)[:, None]
+        dd = np.arange(d, dtype=np.int64)[None, :]
+        W = np.where(((dd * 40503 + pp * 2654435761) % 97) % 2 == 0, 1.0, -1.0)
+        proj = (V @ W.T).astype(np.int64)  # exact: int values < 2^53
+        bits = (proj > 0).astype(np.int64)
+        return pd.Series(bits @ (np.int64(1) << np.arange(n_planes, dtype=np.int64)))
+
+    return sig
+
+
+def _prep(df: DataFrame, id_out: str, id_col: str = "vec_id",
+          vec_col: str = "embedding") -> DataFrame:
+    """(id, iv, ns): fixed-point vector + exact self-dot (norm²),
+    computed once per frame."""
+    return df.select(
+        F.col(id_col).alias(id_out), fp_vec(vec_col).alias("iv")
+    ).withColumn("ns", dot_fp("iv", "iv"))
+
+
+def _cos_from_pair(round_scale: int) -> F.Column:
+    """cos over the narrow pair row — float math entirely in Catalyst:
+    sqrt/divide/round on exact-integer inputs, deterministic across
+    engines."""
+    return F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("qns").cast("double")) * F.sqrt(F.col("cns").cast("double"))),
+        round_scale,
+    )
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {k: pd.Series([], dtype="int64")
+         for k in ("qid", "nid", "dot", "qns", "cns")}
+    )
+
+
+def _gemm_pairs(qpdf: pd.DataFrame, cpdf: pd.DataFrame,
+                upper_only: bool = False) -> pd.DataFrame:
+    """All (q, c) dots for one bucket via a single exact GEMM."""
+    if len(qpdf) == 0 or len(cpdf) == 0:
+        return _empty_pairs()
+    Q = np.stack(qpdf["iv"].to_numpy()).astype(np.float64)
+    C = np.stack(cpdf["iv"].to_numpy()).astype(np.float64)
+    D = (Q @ C.T).astype(np.int64)  # exact (ints < 2^53)
+    nq, nc = D.shape
+    qid = np.repeat(qpdf["qid"].to_numpy(), nc)
+    nid = np.tile(cpdf["nid"].to_numpy(), nq)
+    out = pd.DataFrame(
+        {
+            "qid": qid,
+            "nid": nid,
+            "dot": D.ravel(),
+            "qns": np.repeat(qpdf["ns"].to_numpy(), nc),
+            "cns": np.tile(cpdf["ns"].to_numpy(), nq),
+        }
+    )
+    if upper_only:  # canonical a < b pairs for self-joins
+        out = out[out["qid"] < out["nid"]]
+    return out
+
+
+def _bucket_pair_dots(q: DataFrame, c: DataFrame, key: str,
+                      upper_only: bool = False) -> DataFrame:
+    """Cogroup the prepped sides on the bucket key and GEMM each
+    bucket. Output is narrow (qid, nid, dot, qns, cns) — the scale
+    contract: Arrow traffic is O(bucket members), not O(pairs x dim).
+
+    At 100 TB a degenerate bucket could overflow one task's memory;
+    production pairing caps bucket size upstream (see
+    dedup.lsh_candidate_pairs max_bucket) — same knob applies here.
+    """
+
+    def fn(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        return _gemm_pairs(qpdf, cpdf, upper_only=upper_only)
+
+    return (
+        q.groupBy(key)
+        .cogroup(c.groupBy(key))
+        .applyInPandas(fn, _PAIR_SCHEMA)
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int, round_scale: int) -> DataFrame:
+    scored = scored.filter(F.col("qid") != F.col("nid")).select(
+        "qid", "nid", _cos_from_pair(round_scale).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("nid").alias("neighbor_id"), "cos", "rank")
     )
 
 
@@ -46,43 +184,32 @@ def cosine_topk(
     vec_col: str = "embedding",
     round_scale: int = 4,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k: broadcast the (small) query set,
-    scan the corpus once, window top-k per query.
+    """Exact brute-force cosine top-k baseline: the query matrix is by
+    contract tiny, so it is collected once into the kernel closure (the
+    mapInPandas equivalent of a broadcast) and the corpus streams
+    through in Arrow batches — each corpus vector crosses the boundary
+    exactly once, GEMM'd against all queries at once.
 
     Cosine is rounded to `round_scale` decimals *before* ranking and
-    ties broken by corpus id, making the ranking a total order that is
-    engine-independent (floats only differ across engines below the
-    rounding scale).
+    ties broken by corpus id — a total order that is engine-neutral.
     """
-    q = queries.select(
-        F.col(qid_col).alias("qid"),
-        _as_double(F.col(vec_col)).alias("qvec"),
-        _norm(_as_double(F.col(vec_col))).alias("qnorm"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("nid"),
-        _as_double(F.col(vec_col)).alias("cvec"),
-        _norm(_as_double(F.col(vec_col))).alias("cnorm"),
-    )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("qid") != F.col("nid"))
-        .select(
-            "qid",
-            "nid",
-            F.round(
-                _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
-                round_scale,
-            ).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", F.col("nid").alias("neighbor_id"), "cos", "rank")
-    )
+    qrows = _prep(queries, "qid", qid_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("cosine_topk: empty query set")
+    Q = np.array([r.iv for r in qrows], dtype=np.float64)
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    qns = np.array([r.ns for r in qrows], dtype=np.int64)
+
+    qpdf = pd.DataFrame({"qid": qids, "iv": list(Q), "ns": qns})
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf):
+                yield _gemm_pairs(qpdf, pdf)
+
+    c = _prep(corpus, "nid", id_col, vec_col)
+    scored = c.mapInPandas(gen, _PAIR_SCHEMA)
+    return _rank_topk(scored, k, round_scale)
 
 
 def hyperplane_signature(
@@ -91,37 +218,13 @@ def hyperplane_signature(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-hyperplane LSH signature (SimHash for embeddings).
-
-    Plane p's normal has ±1 component on dimension d with sign from a
-    deterministic modular hash ((p*2654435761 + d*40503) % 97) % 2 —
-    plain integer math, so the bucketing replays identically in any
-    SQL engine (the oracle). Signature bit p = [sum_d w_pd * v_d > 0].
-    """
-    sig = F.lit(0).cast("long")
-    vec = _as_double(F.col(vec_col))
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec_col) - 1),
-                    lambda d: F.when(
-                        F.pmod(
-                            F.pmod(d * F.lit(40503) + F.lit(p * 2654435761), F.lit(97)),
-                            F.lit(2),
-                        )
-                        == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda v, w: v * w,
-            ),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(0)
-    return df.select(F.col(id_col).alias("vec_id"), sig.alias("lsh_sig"))
+    """Random-hyperplane LSH signature (SimHash for embeddings) — one
+    Arrow batch matmul for all planes (the per-plane column-expression
+    tree this replaces bloated codegen O(n_planes x dims))."""
+    sig = _make_sig_udf(n_planes)
+    return df.select(
+        F.col(id_col).alias("vec_id"), sig(fp_vec(vec_col)).alias("lsh_sig")
+    )
 
 
 def ann_lsh_topk(
@@ -132,38 +235,16 @@ def ann_lsh_topk(
     round_scale: int = 4,
 ) -> DataFrame:
     """Approximate NN: exact cosine ranking restricted to the LSH
-    bucket (equi-join on signature). At 100 TB this replaces the
-    brute-force crossJoin with a shuffle join on a 64-bit key; recall
-    is tuned via n_planes (fewer planes -> bigger buckets).
+    bucket — a cogrouped bucket-GEMM on the 64-bit signature key. At
+    100 TB this replaces the brute-force crossJoin with one shuffle of
+    (signature, vector) rows; recall is tuned via n_planes (fewer
+    planes -> bigger buckets).
     """
-    qs = hyperplane_signature(queries, n_planes).withColumnRenamed("vec_id", "qid")
-    cs = hyperplane_signature(corpus, n_planes).withColumnRenamed("vec_id", "nid")
-    q = queries.select(
-        F.col("vec_id").alias("qid"), _as_double(F.col("embedding")).alias("qvec"),
-        _norm(_as_double(F.col("embedding"))).alias("qnorm"),
-    ).join(qs, "qid")
-    c = corpus.select(
-        F.col("vec_id").alias("nid"), _as_double(F.col("embedding")).alias("cvec"),
-        _norm(_as_double(F.col("embedding"))).alias("cnorm"),
-    ).join(cs, "nid")
-    scored = (
-        q.join(c, "lsh_sig")
-        .filter(F.col("qid") != F.col("nid"))
-        .select(
-            "qid",
-            "nid",
-            F.round(
-                _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
-                round_scale,
-            ).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", F.col("nid").alias("neighbor_id"), "cos", "rank")
-    )
+    sig = _make_sig_udf(n_planes)
+    q = _prep(queries, "qid").withColumn("lsh_sig", sig("iv"))
+    c = _prep(corpus, "nid").withColumn("lsh_sig", sig("iv"))
+    scored = _bucket_pair_dots(q, c, "lsh_sig")
+    return _rank_topk(scored, k, round_scale)
 
 
 def near_dup_pairs(
@@ -174,52 +255,80 @@ def near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (vec_a < vec_b): candidate
     pairs from equal LSH hyperplane signatures, verified by exact
-    cosine >= threshold. The self-join runs on the 64-bit signature key
-    (shuffle equi-join), never on the raw vectors.
+    cosine >= threshold. One self-cogroup on the 64-bit signature key;
+    the a<b mask is applied inside the bucket kernel (integer logic —
+    no rounding sensitivity), halving emitted rows.
     """
-    sigs = hyperplane_signature(corpus, n_planes)
-    vecs = corpus.select(
-        "vec_id",
-        _as_double(F.col("embedding")).alias("vec"),
-        _norm(_as_double(F.col("embedding"))).alias("nrm"),
-    ).join(sigs, "vec_id")
-    a = vecs.select(
-        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
-        F.col("nrm").alias("na"), "lsh_sig",
-    )
-    b = vecs.select(
-        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
-        F.col("nrm").alias("nb"), "lsh_sig",
-    )
-    pairs = a.join(b, "lsh_sig").filter(F.col("vec_a") < F.col("vec_b"))
-    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-                  round_scale)
+    sig = _make_sig_udf(n_planes)
+    vecs = _prep(corpus, "qid").withColumn("lsh_sig", sig("iv"))
+
+    # self-pairing is ONE grouped kernel, not a self-cogroup: a cogroup
+    # of a frame with itself shares attribute ids across sides, which
+    # Catalyst dedups/prunes incorrectly — and one pass is cheaper
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _gemm_pairs(pdf, pdf.rename(columns={"qid": "nid"}),
+                           upper_only=True)
+
+    pairs = vecs.groupBy("lsh_sig").applyInPandas(fn, _PAIR_SCHEMA)
     return (
-        pairs.select("vec_a", "vec_b", cos.alias("cos"))
+        pairs.select(
+            F.col("qid").alias("vec_a"),
+            F.col("nid").alias("vec_b"),
+            _cos_from_pair(round_scale).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
 
 
+def _centroid_dots(vectors: DataFrame, centroids: DataFrame,
+                   id_out: str = "vec_id") -> DataFrame:
+    """(id, cid, dot, qns, cns) for every vector x centroid — the
+    coarse quantizer's score matrix. Centroids are by definition tiny,
+    so they are collected once into the kernel closure (broadcast) and
+    the corpus streams through in Arrow batches. Ranking (rounded cos
+    DESC, cid ASC) happens in Catalyst, not here, so tie-breaks match
+    the oracle bit-for-bit.
+    """
+    crows = _prep(centroids, "cid").collect()
+    if not crows:
+        raise ValueError("empty centroid set")
+    crows = sorted(crows, key=lambda r: r.cid)
+    C = np.array([r.iv for r in crows], dtype=np.float64)
+    cids = np.array([r.cid for r in crows], dtype=np.int64)
+    cns = np.array([r.ns for r in crows], dtype=np.int64)
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["iv"].to_numpy()).astype(np.float64)
+            D = (V @ C.T).astype(np.int64)  # (nv, k) exact
+            nv, k = D.shape
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(pdf["qid"].to_numpy(), k),
+                    "nid": np.tile(cids, nv),
+                    "dot": D.ravel(),
+                    "qns": np.repeat(pdf["ns"].to_numpy(), k),
+                    "cns": np.tile(cns, nv),
+                }
+            )
+
+    v = _prep(vectors, "qid")
+    # single select, not chained renames (qid->nid would collide with
+    # the existing nid before its own rename to cid)
+    return v.mapInPandas(gen, _PAIR_SCHEMA).select(
+        F.col("qid").alias(id_out), F.col("nid").alias("cid"),
+        "dot", "qns", "cns",
+    )
+
+
 def ivf_assign(corpus: DataFrame, centroids: DataFrame, round_scale: int = 4) -> DataFrame:
-    """(vec_id, cid): each vector's nearest centroid by cosine
-    (broadcast centroids — the coarse quantizer is always tiny relative
-    to the corpus). Ties break on centroid id for determinism."""
-    c = F.broadcast(
-        centroids.select(
-            F.col("vec_id").alias("cid"),
-            _as_double(F.col("embedding")).alias("cvec"),
-            _norm(_as_double(F.col("embedding"))).alias("cnrm"),
-        )
-    )
-    v = corpus.select(
-        "vec_id",
-        _as_double(F.col("embedding")).alias("vec"),
-        _norm(_as_double(F.col("embedding"))).alias("nrm"),
-    )
-    scored = v.crossJoin(c).select(
-        "vec_id", "cid",
-        F.round(_dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm")),
-                round_scale).alias("cos"),
+    """(vec_id, cid): each vector's nearest centroid by cosine.
+    Ties break on centroid id for determinism (rounded cos, same rule
+    as the oracle's window)."""
+    scored = _centroid_dots(corpus, centroids, "vec_id").select(
+        "vec_id", "cid", _cos_from_pair(round_scale).alias("cos")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
     return (
@@ -240,69 +349,46 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate NN: coarse-quantize the corpus into centroid
     buckets, probe each query's n_probe nearest buckets, rank exactly
-    inside them. The 10^12-scale shape: the corpus is range-partitioned
-    by cid (one shuffle at build time, amortized over all queries) and
-    a query touches n_probe/n_centroids of it instead of everything.
+    inside them via the bucket-GEMM. The 10^12-scale shape: the corpus
+    is partitioned by cid (one shuffle at build time, amortized over
+    all queries) and a query touches n_probe/n_centroids of it instead
+    of everything.
 
-    Centroids here are the deterministic first-N corpus vectors (a
-    reproducible stand-in for an offline k-means "training" step — at
-    real scale the centroid table is produced by a separate job and
-    this function is unchanged).
+    Default centroids are the deterministic first-N corpus vectors (a
+    reproducible stand-in for the k-means trainer `kmeans_centroids`,
+    which plugs in via the `centroids` parameter unchanged).
     """
     if centroids is None:
         centroids = corpus.filter(F.col("vec_id") < n_centroids)
-    assign = ivf_assign(corpus, centroids, round_scale)
 
-    # query-side probes: top n_probe centroid buckets
-    qprobe = ivf_assign(queries, centroids, round_scale)  # rank-1 only
-    c = F.broadcast(
-        centroids.select(
-            F.col("vec_id").alias("cid"),
-            _as_double(F.col("embedding")).alias("cvec"),
-            _norm(_as_double(F.col("embedding"))).alias("cnrm"),
-        )
+    v = _prep(corpus, "nid").cache()
+
+    # corpus buckets: nearest centroid per vector (rank-1 on rounded cos)
+    cdots = _centroid_dots(corpus, centroids, "nid").select(
+        "nid", "cid", _cos_from_pair(round_scale).alias("acos")
     )
-    q = queries.select(
-        F.col("vec_id").alias("qid"),
-        _as_double(F.col("embedding")).alias("qvec"),
-        _norm(_as_double(F.col("embedding"))).alias("qnrm"),
+    wa = Window.partitionBy("nid").orderBy(F.desc("acos"), F.asc("cid"))
+    assign = (
+        cdots.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("nid", "cid")
     )
-    probes = (
-        q.select("qid", "qvec", "qnrm")
-        .crossJoin(c)
-        .select(
-            "qid", "cid",
-            F.round(_dot(F.col("qvec"), F.col("cvec"))
-                    / (F.col("qnrm") * F.col("cnrm")), round_scale).alias("pcos"),
-        )
+    bucketed = v.join(assign, "nid")  # (nid, iv, ns, cid)
+
+    # query-side probes: top n_probe centroid buckets per query
+    qdots = _centroid_dots(queries, centroids, "qid").select(
+        "qid", "cid", _cos_from_pair(round_scale).alias("pcos")
     )
     wp = Window.partitionBy("qid").orderBy(F.desc("pcos"), F.asc("cid"))
     probes = (
-        probes.withColumn("pr", F.row_number().over(wp))
+        qdots.withColumn("pr", F.row_number().over(wp))
         .filter(F.col("pr") <= n_probe)
         .select("qid", "cid")
     )
+    q = _prep(queries, "qid").join(probes, "qid")  # (qid, iv, ns, cid)
 
-    cvecs = corpus.select(
-        F.col("vec_id").alias("nid"),
-        _as_double(F.col("embedding")).alias("nvec"),
-        _norm(_as_double(F.col("embedding"))).alias("nnrm"),
-    ).join(assign.withColumnRenamed("vec_id", "nid"), "nid")
-
-    cand = probes.join(cvecs, "cid").join(q, "qid").filter(
-        F.col("qid") != F.col("nid")
-    )
-    scored = cand.select(
-        "qid", "nid",
-        F.round(_dot(F.col("qvec"), F.col("nvec"))
-                / (F.col("qnrm") * F.col("nnrm")), round_scale).alias("cos"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", F.col("nid").alias("neighbor_id"), "cos", "rank")
-    )
+    scored = _bucket_pair_dots(q, bucketed, "cid")
+    return _rank_topk(scored, k, round_scale)
 
 
 def kmeans_centroids(
@@ -312,40 +398,50 @@ def kmeans_centroids(
     "training" job behind ivf_topk's coarse quantizer.
 
     Deterministic end to end: init = the k lowest vec_ids, assignment
-    ties break on centroid id, and a fixed iteration count (no
-    convergence RNG). Each iteration is one broadcast-join assignment
-    pass + one posexplode/groupBy mean — the canonical Spark k-means
-    shape (centroid table always tiny, corpus never replicated).
-    Iterations are localCheckpoint-severed so the plan stays shallow.
+    ties break on centroid id, a fixed iteration count (no convergence
+    RNG), and means computed as EXACT int64 sums of the fixed-point
+    vectors divided by the count (one IEEE division per dimension —
+    engine-replayable, unlike order-dependent float summation).
+
+    Each iteration is one closure-broadcast assignment pass + one
+    groupBy(cid) Arrow mean kernel — the canonical Spark k-means shape
+    (centroid table always tiny, corpus never replicated). Iterations
+    are localCheckpoint-severed so the plan stays shallow. Clusters
+    that capture zero vectors keep their previous centroid (k never
+    silently shrinks).
     """
     cent = corpus.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"),
-        _as_double(F.col("embedding")).alias("cvec"),
-    )
-    dims = corpus.select(F.size("embedding").alias("d")).first().d
+        F.transform(fp_vec("embedding"),
+                    lambda x: x.cast("double") / F.lit(float(FP_SCALE))).alias("cvec"),
+    ).localCheckpoint(eager=True)
+
+    ivs = corpus.select("vec_id", fp_vec("embedding").alias("iv")).cache()
+
+    def mean_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack(pdf["iv"].to_numpy()).astype(np.int64)
+        # exact integer column sums, then one division per dim
+        m = V.sum(axis=0, dtype=np.int64) / (len(V) * float(FP_SCALE))
+        return pd.DataFrame({"cid": [int(pdf["cid"].iloc[0])], "cvec": [m.tolist()]})
+
     for _ in range(iters):
         assign = ivf_assign(
             corpus,
-            cent.select(F.col("cid").alias("vec_id"),
-                        F.col("cvec").alias("embedding")),
+            cent.select(F.col("cid").alias("vec_id"), F.col("cvec").alias("embedding")),
             round_scale,
         )
-        per_dim = (
-            corpus.join(assign, "vec_id")
-            .select("cid", F.posexplode(_as_double(F.col("embedding")))
-                    .alias("dim", "v"))
-            .groupBy("cid", "dim")
-            .agg(F.avg("v").alias("m"))
+        means = (
+            ivs.join(assign, "vec_id")
+            .groupBy("cid")
+            .applyInPandas(mean_fn, "cid long, cvec array<double>")
         )
+        # empty clusters keep their previous centroid — k is invariant
         cent = (
-            per_dim.groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s.m,
-                ).alias("cvec")
-            )
+            cent.select("cid", F.col("cvec").alias("prev"))
+            .join(means, "cid", "left")
+            .select("cid", F.coalesce("cvec", "prev").alias("cvec"))
             .localCheckpoint(eager=True)
         )
-        assert dims  # documented: all embeddings share one dimension
+        assert cent.count() == k, "k-means must preserve k centroids"
+    ivs.unpersist()
     return cent.select("cid", F.col("cvec").alias("embedding"))

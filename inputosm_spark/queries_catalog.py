@@ -546,10 +546,10 @@ _SHINGLES_SQL = f"""
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL})
     SELECT doc_id,
-           min(md5('0|' || shingle)) AS sig_0,
-           min(md5('1|' || shingle)) AS sig_1,
-           min(md5('2|' || shingle)) AS sig_2,
-           min(md5('3|' || shingle)) AS sig_3
+           min(substr(md5('0|' || shingle), 1, 8)) AS sig_0,
+           min(substr(md5('0|' || shingle), 9, 8)) AS sig_1,
+           min(substr(md5('0|' || shingle), 17, 8)) AS sig_2,
+           min(substr(md5('0|' || shingle), 25, 8)) AS sig_3
     FROM sh GROUP BY doc_id
     """,
 )
@@ -568,10 +568,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS ({_SHINGLES_SQL}),
     sig AS (
       SELECT doc_id,
-             min(md5('0|' || shingle)) AS sig_0,
-             min(md5('1|' || shingle)) AS sig_1,
-             min(md5('2|' || shingle)) AS sig_2,
-             min(md5('3|' || shingle)) AS sig_3
+             min(substr(md5('0|' || shingle), 1, 8)) AS sig_0,
+             min(substr(md5('0|' || shingle), 9, 8)) AS sig_1,
+             min(substr(md5('0|' || shingle), 17, 8)) AS sig_2,
+             min(substr(md5('0|' || shingle), 25, 8)) AS sig_3
       FROM sh GROUP BY doc_id
     ),
     bands AS (
@@ -592,6 +592,58 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = dedup.minhash_signatures(dedup.word_shingles(docs, n=3), n_hashes=4)
     return dedup.lsh_candidate_pairs(sigs, n_bands=2, rows_per_band=2)
+
+
+@register(
+    "lsh_candidate_pairs_capped",
+    oracle=f"""
+    WITH docs_aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT 1000000 + i AS doc_id, '' AS text FROM range(30) t(i)
+    ),
+    sh AS ({_SHINGLES_SQL.replace("FROM documents", "FROM docs_aug")}),
+    sig AS (
+      SELECT doc_id,
+             min(substr(md5('0|' || shingle), 1, 8)) AS sig_0,
+             min(substr(md5('0|' || shingle), 9, 8)) AS sig_1,
+             min(substr(md5('0|' || shingle), 17, 8)) AS sig_2,
+             min(substr(md5('0|' || shingle), 25, 8)) AS sig_3
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS band_val FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, sig_2 || '|' || sig_3 AS band_val FROM sig
+    ),
+    capped AS (
+      SELECT * FROM bands
+      QUALIFY count(*) OVER (PARTITION BY band, band_val) <= 20
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    """,
+)
+def q_lsh_candidate_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate generation with the bucket-size cap exercised by a
+    synthesized degenerate bucket: 30 empty documents all share one
+    MinHash signature, which uncapped would emit 435+ junk pairs (and
+    at 100 TB, one never-finishing task). max_bucket=20 drops the
+    degenerate bucket entirely while the organic near-dup buckets pass
+    through — bounded pair counts, oracle-verified."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    degenerate = spark.range(30).select(
+        (F.col("id") + 1000000).cast("string").alias("doc_id"),
+        F.lit("").alias("text"),
+    )
+    aug = docs.unionByName(degenerate)
+    sigs = dedup.minhash_signatures(dedup.word_shingles(aug, n=3), n_hashes=4)
+    return dedup.lsh_candidate_pairs(
+        sigs, n_bands=2, rows_per_band=2, max_bucket=20
+    )
 
 
 _HEXMAP_SQL = "(instr('0123456789abcdef', substr(md5(tok), CAST(bit // 4 AS INT) + 1, 1)) - 1)"
@@ -702,10 +754,20 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- similarity search -------------------------------------------------------
 
-_COS_SQL = """
-  round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
-        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
-           * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 4)
+# Fixed-point cosine, replaying similarity.FP_SCALE exactly: round each
+# component to an integer (x1e6), dot products are then EXACT (every
+# partial sum < 2^53, so order-independent in double) — bit-identical
+# to the Spark-side numpy int64 kernel. Only sqrt/divide/round remain
+# float, all single correctly-rounded IEEE ops.
+def _fpl(t: str) -> str:
+    return (f"list_transform(CAST({t}.embedding AS DOUBLE[]), "
+            "x -> round(x * 1000000.0))")
+
+
+_COS_SQL = f"""
+  round(list_dot_product({_fpl('q')}, {_fpl('c')})
+        / (sqrt(list_dot_product({_fpl('q')}, {_fpl('q')}))
+           * sqrt(list_dot_product({_fpl('c')}, {_fpl('c')}))), 4)
 """
 
 
@@ -733,25 +795,28 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
 
 
-@register(
-    "embedding_lsh_sig",
-    oracle="""
-    WITH w AS (
-      SELECT e.vec_id, p.p, d.d, e.embedding[CAST(d.d AS INT) + 1] AS v,
-             CASE WHEN ((d.d * 40503 + p.p * 2654435761) % 97) % 2 = 0
-                  THEN 1.0 ELSE -1.0 END AS wt
-      FROM embeddings e, unnest(range(0, 8)) AS p(p),
-           unnest(range(0, len(e.embedding))) AS d(d)
-    ), proj AS (
-      SELECT vec_id, p, sum(CAST(v AS DOUBLE) * wt) AS s
-      FROM w GROUP BY 1, 2
-    )
+# hyperplane signature on the FIXED-POINT vector: ±1 weights times
+# int64 components, summed as BIGINT — exact, engine-neutral
+_SIG_INT_SQL = """
     SELECT vec_id,
            CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
                 AS BIGINT) AS lsh_sig
-    FROM proj GROUP BY vec_id
-    """,
-)
+    FROM (
+      SELECT vec_id, p, sum(t) AS s
+      FROM (
+        SELECT e.vec_id, p.p,
+               CAST(round(CAST(e.embedding[CAST(d.d AS INT) + 1] AS DOUBLE)
+                          * 1000000.0) AS BIGINT)
+               * (CASE WHEN ((d.d * 40503 + p.p * 2654435761) % 97) % 2 = 0
+                       THEN 1 ELSE -1 END) AS t
+        FROM embeddings e, unnest(range(0, 8)) AS p(p),
+             unnest(range(0, len(e.embedding))) AS d(d)
+      ) GROUP BY 1, 2
+    ) GROUP BY vec_id
+"""
+
+
+@register("embedding_lsh_sig", oracle=_SIG_INT_SQL)
 def q_embedding_lsh_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH signatures for embeddings (ANN scale path
     bucketing key)."""
@@ -1239,10 +1304,10 @@ def q_topk_dense_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS ({_SHINGLES_SQL}),
     sig AS (
       SELECT doc_id,
-             min(md5('0|' || shingle)) AS sig_0,
-             min(md5('1|' || shingle)) AS sig_1,
-             min(md5('2|' || shingle)) AS sig_2,
-             min(md5('3|' || shingle)) AS sig_3
+             min(substr(md5('0|' || shingle), 1, 8)) AS sig_0,
+             min(substr(md5('0|' || shingle), 9, 8)) AS sig_1,
+             min(substr(md5('0|' || shingle), 17, 8)) AS sig_2,
+             min(substr(md5('0|' || shingle), 25, 8)) AS sig_3
       FROM sh GROUP BY doc_id
     ),
     bands AS (
@@ -1277,27 +1342,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    shingled = dedup.word_shingles(docs, n=3)
+    # the shingle set feeds the signature pipeline AND the verify joins;
+    # cache it once here (no cross-branch subplan sharing in Spark)
+    shingled = dedup.word_shingles(docs, n=3).cache()
     sigs = dedup.minhash_signatures(shingled, n_hashes=4)
     cand = dedup.lsh_candidate_pairs(sigs, n_bands=2, rows_per_band=2)
     return dedup.jaccard_verify(cand, shingled, threshold=0.5)
 
 
-_SIG_SQL = """
-    SELECT vec_id,
-           CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
-                AS BIGINT) AS lsh_sig
-    FROM (
-      SELECT vec_id, p, sum(CAST(v AS DOUBLE) * wt) AS s
-      FROM (
-        SELECT e.vec_id, p.p, e.embedding[CAST(d.d AS INT) + 1] AS v,
-               CASE WHEN ((d.d * 40503 + p.p * 2654435761) % 97) % 2 = 0
-                    THEN 1.0 ELSE -1.0 END AS wt
-        FROM embeddings e, unnest(range(0, 8)) AS p(p),
-             unnest(range(0, len(e.embedding))) AS d(d)
-      ) GROUP BY 1, 2
-    ) GROUP BY vec_id
-"""
+_SIG_SQL = _SIG_INT_SQL  # shared fixed-point signature fragment
 
 
 @register(
@@ -1496,12 +1549,34 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_features")  # stubbed codec: rows-only driver check
+@register(
+    "media_features",
+    oracle=f"""
+    WITH {_PER_CHUNK_ONLY_SQL},
+    refs AS (
+      SELECT DISTINCT 'media://' || CAST(doc_id AS VARCHAR) || '/'
+                      || CAST(i AS VARCHAR) AS media_ref
+      FROM per_chunk WHERE is_media = 1
+    ),
+    hx AS (SELECT media_ref, md5(md5(media_ref)) AS h FROM refs)
+    SELECT media_ref, 'image' AS media_type, TRUE AS ok,
+           CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+           array_to_string(list_transform(range(0, 16), i ->
+             CAST((strpos('0123456789abcdef',
+                          substr(h, CAST(2*i + 1 AS INT), 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                          substr(h, CAST(2*i + 2 AS INT), 1)) - 1)
+                  AS VARCHAR)), ',') AS feat_csv
+    FROM hx
+    """,
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pipeline end-to-end: media spans -> left-semi
     pruned media dim -> Arrow mapInPandas decode (deterministic stub) ->
-    feature rows. Codec is stubbed (no image libs here), so this entry
-    is rows-only checked; the Spark plumbing is the real thing."""
+    feature rows. The stub features are md5-byte derived, so the check
+    surface scales them back to exact ints (feat_csv) and DuckDB
+    replays the whole pipeline: payload = utf8(md5_hex(ref)) bytes,
+    features[i] = byte_i(md5(payload)) / 256."""
     from inputosm_spark import multimodal
 
     docs = interleave_documents(_t(spark, sf_dir, "documents"))
@@ -1517,9 +1592,17 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(64).cast("int").alias("width"),
         F.lit(64).cast("int").alias("height"),
         F.lit(0).cast("int").alias("duration_ms"),
-        F.unhex(F.md5("media_ref")).alias("payload"),
+        F.encode(F.md5("media_ref"), "utf-8").alias("payload"),
     )
-    return multimodal.media_spans_features(docs, media, fake=True)
+    out = multimodal.media_spans_features(docs, media, fake=True)
+    # features are byte/256 float32 -> scale back to the exact byte ints
+    # for a hashable, engine-neutral check column
+    feat_csv = F.concat_ws(
+        ",", F.transform("features", lambda x: F.round(x.cast("double") * 256)
+                         .cast("int").cast("string"))
+    )
+    return out.select("media_ref", "media_type", "ok", "width", "height",
+                      feat_csv.alias("feat_csv"))
 
 
 @register(

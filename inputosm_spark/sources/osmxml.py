@@ -153,12 +153,32 @@ def read_osc(
 
 def apply_changes(base: DataFrame, changes: DataFrame, key: str = "id") -> DataFrame:
     """Apply an OSC change set to a base entity table — latest-wins
-    MERGE semantics (the Iceberg `MERGE INTO` fallback): delete removes
-    the keyed row, create/modify upsert it."""
+    MERGE semantics (the Iceberg `MERGE INTO` fallback).
+
+    The reference replays ops sequentially (inputosmxml.cpp:243-257), so
+    when one change set carries several ops for the same key only the
+    LAST one survives: the changes are first reduced to one row per key
+    (highest version, then file position — `monotonically_increasing_id`
+    preserves the parse order of the change file), and only that row
+    decides delete-vs-upsert. A create followed by a delete removes the
+    row; a delete followed by a create keeps the new row.
+    """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    upserts = changes.filter(F.col("op") != "delete").drop("op")
-    deletes = changes.filter(F.col("op") == "delete").select(key)
-    touched = changes.select(key)
+    ch = changes.withColumn("__pos", F.monotonically_increasing_id())
+    order = [F.desc("__pos")]
+    if "version" in changes.columns:
+        order = [F.desc_nulls_last("version"), F.desc("__pos")]
+    w = Window.partitionBy(key).orderBy(*order)
+    latest = (
+        ch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__pos")
+    )
+    upserts = latest.filter(F.col("op") != "delete").drop("op")
+    touched = latest.select(key)
+    # keys whose latest op is delete are in `touched` (removed from base)
+    # and absent from `upserts` — no separate delete pass needed
     kept = base.join(touched, key, "left_anti")
-    return kept.unionByName(upserts).join(deletes, key, "left_anti")
+    return kept.unionByName(upserts)

@@ -1,0 +1,484 @@
+"""OSM PBF source: blob-planned, executor-parallel decode.
+
+The reference's native input (`input_pbf`,
+/root/reference/src/inputosmpbf.cpp:1028-1056) is a work queue of
+compressed blobs: a cheap planning pass walks the file reading ONLY
+the 4-byte BlobHeader lengths and `datasize` fields (blob planning,
+inputosmpbf.cpp:972-1001), then worker threads decompress and decode
+blobs independently. The Spark-first translation keeps exactly that
+split:
+
+* `plan_blobs` runs on the DRIVER and touches only headers — O(#blobs)
+  tiny reads, no decompression (at 100 TB of .pbf this is seconds).
+* The blob descriptor table becomes a DataFrame repartitioned one-ish
+  blob per task; `mapInPandas` workers seek/read/decompress/decode
+  their blobs independently — the reference's thread pool becomes
+  Spark's executor scheduling, and its capacity/restart machinery
+  (inputosmpbf.cpp:199-220) is replaced by Spark memory management
+  (SURVEY.md §7).
+
+Wire-format pieces the reference implements in C++ are re-derived here
+from the PUBLIC protobuf + OSM PBF specs, not transliterated:
+
+* protobuf field iterator (S5; reference read_field,
+  inputosmpbf.cpp:132-166) -> `iter_fields`.
+* varint/zigzag decoders (S6/F3; reference read_varint_*,
+  inputosmpbf.cpp:103-129) -> `read_varint` + the NUMPY batch decoder
+  `decode_varints` (all continuation-bit math vectorized; a packed
+  array of N varints costs <=10 numpy passes, not N Python loops).
+* string-table decode (S7, inputosmpbf.cpp:84,333-351), dense-node
+  delta chains (S8, :226-372), way/relation decode (S9/S10,
+  :386-470/:470-600), DenseInfo metadata (S11).
+
+Coordinates are normalized to the engine's canonical 1e7 fixed point
+(raw_lat = nanodegrees/100, matching the XML path and FIXTURES.md),
+applying granularity/offset per the PBF spec — unlike the reference,
+which leaves granularity units in node_t and defers scaling to
+callers.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inputosm_spark import schemas
+
+# --- varint / zigzag (S6, F3) ------------------------------------------------
+
+
+def read_varint(buf, pos: int) -> tuple[int, int]:
+    """Single varint (header-walking path); packed payloads use the
+    vectorized `decode_varints` instead."""
+    res = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        res |= (b & 0x7F) << shift
+        if b < 0x80:
+            return res, pos
+        shift += 7
+
+
+def decode_varints(data: bytes) -> np.ndarray:
+    """All varints in a packed payload, vectorized: one numpy pass per
+    varint BYTE POSITION (<=10), not one Python iteration per value."""
+    a = np.frombuffer(data, dtype=np.uint8)
+    if a.size == 0:
+        return np.array([], dtype=np.uint64)
+    ends = np.flatnonzero(a < 0x80)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    for i in range(int(lengths.max())):
+        m = lengths > i
+        vals[m] |= (a[starts[m] + i].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(
+            7 * i
+        )
+    return vals
+
+
+def unzigzag(u: np.ndarray) -> np.ndarray:
+    """sint64 decode: (u >> 1) ^ -(u & 1), in int64 space."""
+    u = u.astype(np.uint64)
+    return ((u >> np.uint64(1)).astype(np.int64)) ^ -(
+        (u & np.uint64(1)).astype(np.int64)
+    )
+
+
+def decode_packed_sint64(data: bytes, delta: bool = False) -> np.ndarray:
+    s = unzigzag(decode_varints(data))
+    return np.cumsum(s) if delta else s
+
+
+def decode_packed_uint(data: bytes) -> np.ndarray:
+    return decode_varints(data).astype(np.int64)
+
+
+# --- protobuf field iterator (S5) --------------------------------------------
+
+_WT_VARINT, _WT_I64, _WT_LEN, _WT_I32 = 0, 1, 2, 5
+
+
+def iter_fields(buf) -> Iterator[tuple[int, int, object]]:
+    """(field_no, wire_type, value) over one protobuf message. Length-
+    delimited values are memoryview slices (zero-copy)."""
+    view = memoryview(buf)
+    pos, end = 0, len(view)
+    while pos < end:
+        key, pos = read_varint(view, pos)
+        fno, wt = key >> 3, key & 7
+        if wt == _WT_VARINT:
+            val, pos = read_varint(view, pos)
+        elif wt == _WT_LEN:
+            ln, pos = read_varint(view, pos)
+            val = view[pos : pos + ln]
+            pos += ln
+        elif wt == _WT_I64:
+            val = view[pos : pos + 8]
+            pos += 8
+        elif wt == _WT_I32:
+            val = view[pos : pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield fno, wt, val
+
+
+# --- blob planning (driver-side, S3) ------------------------------------------
+
+
+def plan_blobs(path: str) -> list[dict]:
+    """Walk BlobHeaders only: (blob_type, offset, datasize) per blob.
+    Mirrors the reference's planning scan (inputosmpbf.cpp:972-1001) —
+    nothing is decompressed here."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            raw = f.read(4)
+            if len(raw) < 4:
+                break
+            hlen = int.from_bytes(raw, "big")
+            hdr = f.read(hlen)
+            btype, datasize = None, None
+            for fno, _, val in iter_fields(hdr):
+                if fno == 1:
+                    btype = bytes(val).decode("utf-8")
+                elif fno == 3:
+                    datasize = val
+            if datasize is None:
+                raise ValueError(f"BlobHeader without datasize at {f.tell()}")
+            out.append(
+                {"blob_type": btype, "offset": f.tell(), "datasize": int(datasize)}
+            )
+            f.seek(datasize, 1)
+    return out
+
+
+def _blob_payload(data: bytes) -> bytes:
+    """Blob message -> uncompressed payload (raw | zlib; S4)."""
+    raw, z = None, None
+    for fno, _, val in iter_fields(data):
+        if fno == 1:
+            raw = bytes(val)
+        elif fno == 3:
+            z = bytes(val)
+    if raw is not None:
+        return raw
+    if z is None:
+        raise ValueError("Blob has neither raw nor zlib_data")
+    return zlib.decompress(z)
+
+
+# --- PrimitiveBlock decode (executor-side; S7-S11) -----------------------------
+
+
+class _StringTable:
+    __slots__ = ("strings",)
+
+    def __init__(self, msg) -> None:
+        self.strings = [
+            bytes(val).decode("utf-8") for fno, _, val in iter_fields(msg) if fno == 1
+        ]
+
+    def get(self, i: int) -> str:
+        return self.strings[i]
+
+
+def _info(msg, date_granularity: int) -> tuple[int, float, int]:
+    """Non-dense Info: (version, ts_seconds, changeset)."""
+    version, ts_s, changeset = 0, np.nan, 0
+    for fno, _, val in iter_fields(msg):
+        if fno == 1:
+            version = val
+        elif fno == 2:
+            ts_s = val * date_granularity / 1000.0
+        elif fno == 3:
+            changeset = val
+    return version, ts_s, changeset
+
+
+def _tags(keys: np.ndarray, vals: np.ndarray, st: _StringTable) -> dict:
+    return {st.get(int(k)): st.get(int(v)) for k, v in zip(keys, vals)}
+
+
+def decode_primitive_block(payload: bytes) -> dict[str, list[dict]]:
+    """One PrimitiveBlock -> entity record lists. Packed numeric fields
+    (ids, coords, refs, keys_vals) decode through the numpy varint
+    kernel; only per-entity assembly is Python (entities per blob are
+    bounded by the 8k-entity PBF convention)."""
+    st = None
+    groups = []
+    granularity, date_granularity = 100, 1000
+    lat_offset = lon_offset = 0
+    for fno, _, val in iter_fields(payload):
+        if fno == 1:
+            st = _StringTable(val)
+        elif fno == 2:
+            groups.append(val)
+        elif fno == 17:
+            granularity = val
+        elif fno == 18:
+            date_granularity = val
+        elif fno == 19:
+            lat_offset = val
+        elif fno == 20:
+            lon_offset = val
+
+    def raw7(raw: np.ndarray, offset: int) -> np.ndarray:
+        # nanodegrees -> canonical 1e7 fixed point (FIXTURES.md §1)
+        return (offset + granularity * raw) // 100
+
+    nodes: list[dict] = []
+    ways: list[dict] = []
+    rels: list[dict] = []
+    for g in groups:
+        for fno, _, val in iter_fields(g):
+            if fno == 1:  # plain Node
+                nodes.append(_decode_plain_node(val, st, granularity,
+                                                lat_offset, lon_offset,
+                                                date_granularity))
+            elif fno == 2:  # DenseNodes
+                nodes.extend(_decode_dense(val, st, raw7, date_granularity))
+            elif fno == 3:
+                ways.append(_decode_way(val, st, date_granularity))
+            elif fno == 4:
+                rels.append(_decode_relation(val, st, date_granularity))
+    return {"nodes": nodes, "ways": ways, "relations": rels}
+
+
+def _decode_plain_node(msg, st, granularity, lat_offset, lon_offset,
+                       date_granularity) -> dict:
+    nid = 0
+    keys = vals = np.array([], dtype=np.int64)
+    lat = lon = 0
+    version, ts_s, changeset = 0, np.nan, 0
+    for fno, _, val in iter_fields(msg):
+        if fno == 1:
+            nid = int(unzigzag(np.array([val], dtype=np.uint64))[0])
+        elif fno == 2:
+            keys = decode_packed_uint(bytes(val))
+        elif fno == 3:
+            vals = decode_packed_uint(bytes(val))
+        elif fno == 4:
+            version, ts_s, changeset = _info(val, date_granularity)
+        elif fno == 8:
+            lat = int(unzigzag(np.array([val], dtype=np.uint64))[0])
+        elif fno == 9:
+            lon = int(unzigzag(np.array([val], dtype=np.uint64))[0])
+    return {
+        "id": nid,
+        "raw_lat": (lat_offset + granularity * lat) // 100,
+        "raw_lon": (lon_offset + granularity * lon) // 100,
+        "tags": _tags(keys, vals, st),
+        "version": int(version),
+        "ts_s": ts_s,
+        "changeset": int(changeset),
+    }
+
+
+def _decode_dense(msg, st, raw7, date_granularity) -> list[dict]:
+    ids = lats = lons = versions = timestamps = changesets = None
+    keys_vals = np.array([], dtype=np.int64)
+    for fno, _, val in iter_fields(msg):
+        if fno == 1:
+            ids = decode_packed_sint64(bytes(val), delta=True)
+        elif fno == 5:  # DenseInfo
+            for ifno, _, ival in iter_fields(val):
+                if ifno == 1:
+                    versions = decode_packed_uint(bytes(ival))
+                elif ifno == 2:
+                    timestamps = decode_packed_sint64(bytes(ival), delta=True)
+                elif ifno == 3:
+                    changesets = decode_packed_sint64(bytes(ival), delta=True)
+        elif fno == 8:
+            lats = raw7(decode_packed_sint64(bytes(val), delta=True), 0)
+        elif fno == 9:
+            lons = raw7(decode_packed_sint64(bytes(val), delta=True), 0)
+    if ids is None:
+        return []
+    # keys_vals: 0-terminated (k,v) runs, one run per node
+    for fno, _, val in iter_fields(msg):
+        if fno == 10:
+            keys_vals = decode_packed_uint(bytes(val))
+    tag_runs: list[dict] = []
+    if keys_vals.size:
+        zeros = np.flatnonzero(keys_vals == 0)
+        start = 0
+        for z in zeros:
+            run = keys_vals[start:z]
+            tag_runs.append(_tags(run[0::2], run[1::2], st))
+            start = z + 1
+    while len(tag_runs) < len(ids):
+        tag_runs.append({})
+    out = []
+    for i in range(len(ids)):
+        out.append(
+            {
+                "id": int(ids[i]),
+                "raw_lat": int(lats[i]),
+                "raw_lon": int(lons[i]),
+                "tags": tag_runs[i],
+                "version": int(versions[i]) if versions is not None else 0,
+                "ts_s": (
+                    float(timestamps[i]) * date_granularity / 1000.0
+                    if timestamps is not None
+                    else np.nan
+                ),
+                "changeset": int(changesets[i]) if changesets is not None else 0,
+            }
+        )
+    return out
+
+
+def _decode_way(msg, st, date_granularity) -> dict:
+    wid = 0
+    keys = vals = np.array([], dtype=np.int64)
+    refs = np.array([], dtype=np.int64)
+    version, ts_s, changeset = 0, np.nan, 0
+    for fno, _, val in iter_fields(msg):
+        if fno == 1:
+            wid = val
+        elif fno == 2:
+            keys = decode_packed_uint(bytes(val))
+        elif fno == 3:
+            vals = decode_packed_uint(bytes(val))
+        elif fno == 4:
+            version, ts_s, changeset = _info(val, date_granularity)
+        elif fno == 8:
+            refs = decode_packed_sint64(bytes(val), delta=True)
+    return {
+        "id": int(wid),
+        "node_refs": [int(r) for r in refs],
+        "tags": _tags(keys, vals, st),
+        "version": int(version),
+        "ts_s": ts_s,
+        "changeset": int(changeset),
+    }
+
+
+def _decode_relation(msg, st, date_granularity) -> dict:
+    rid = 0
+    keys = vals = np.array([], dtype=np.int64)
+    roles = memids = types = np.array([], dtype=np.int64)
+    version, ts_s, changeset = 0, np.nan, 0
+    for fno, _, val in iter_fields(msg):
+        if fno == 1:
+            rid = val
+        elif fno == 2:
+            keys = decode_packed_uint(bytes(val))
+        elif fno == 3:
+            vals = decode_packed_uint(bytes(val))
+        elif fno == 4:
+            version, ts_s, changeset = _info(val, date_granularity)
+        elif fno == 8:
+            roles = decode_packed_uint(bytes(val))
+        elif fno == 9:
+            memids = decode_packed_sint64(bytes(val), delta=True)
+        elif fno == 10:
+            types = decode_packed_uint(bytes(val))
+    members = [
+        {"type": int(t), "ref": int(m), "role": st.get(int(r))}
+        for t, m, r in zip(types, memids, roles)
+    ]
+    return {
+        "id": int(rid),
+        "members": members,
+        "tags": _tags(keys, vals, st),
+        "version": int(version),
+        "ts_s": ts_s,
+        "changeset": int(changeset),
+    }
+
+
+# --- Spark surface -------------------------------------------------------------
+
+_ENTITY_DDL = (
+    "kind string, id long, raw_lat long, raw_lon long, "
+    "node_refs array<long>, "
+    "members array<struct<type:int,ref:long,role:string>>, "
+    "tags map<string,string>, version int, ts timestamp, changeset long"
+)
+
+
+def _records_to_pdf(recs: dict[str, list[dict]]) -> pd.DataFrame:
+    rows = []
+    for kind, lst in (("node", recs["nodes"]), ("way", recs["ways"]),
+                      ("relation", recs["relations"])):
+        for r in lst:
+            ts = (
+                pd.Timestamp(r["ts_s"], unit="s")
+                if r["ts_s"] == r["ts_s"]
+                else pd.NaT
+            )
+            rows.append(
+                {
+                    "kind": kind,
+                    "id": r["id"],
+                    "raw_lat": r.get("raw_lat"),
+                    "raw_lon": r.get("raw_lon"),
+                    "node_refs": r.get("node_refs"),
+                    "members": r.get("members"),
+                    "tags": r["tags"],
+                    "version": r["version"],
+                    "ts": ts,
+                    "changeset": r["changeset"],
+                }
+            )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "kind", "id", "raw_lat", "raw_lon", "node_refs", "members",
+            "tags", "version", "ts", "changeset",
+        ],
+    )
+
+
+def read_pbf_entities(spark: SparkSession, path: str) -> DataFrame:
+    """All entities of a .osm.pbf as one DataFrame (kind-discriminated
+    superset schema). One Spark task decodes one blob — the reference's
+    work-queue granularity (inputosmpbf.cpp:1028-1056)."""
+    plans = [p for p in plan_blobs(path) if p["blob_type"] == "OSMData"]
+    if not plans:
+        raise ValueError(f"no OSMData blobs in {path}")
+    desc = spark.createDataFrame(
+        [(path, p["offset"], p["datasize"]) for p in plans],
+        "path string, offset long, datasize long",
+    )
+    n_parts = min(len(plans), spark.sparkContext.defaultParallelism)
+    desc = desc.repartition(n_parts)
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for _, row in pdf.iterrows():  # rows here are BLOBS, not entities
+                with open(row["path"], "rb") as f:
+                    f.seek(int(row["offset"]))
+                    data = f.read(int(row["datasize"]))
+                recs = decode_primitive_block(_blob_payload(data))
+                out = _records_to_pdf(recs)
+                if len(out):
+                    yield out
+
+    return desc.mapInPandas(decode, _ENTITY_DDL)
+
+
+def read_pbf(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """.osm.pbf -> (nodes, ways, relations) DataFrames, same schemas as
+    the XML path (sources/osmxml.read_osm). The decoded superset feeds
+    three filters — cached once (no cross-branch subplan sharing)."""
+    ent = read_pbf_entities(spark, path).cache()
+    node_cols = [f.name for f in schemas.NODES.fields]
+    way_cols = [f.name for f in schemas.WAYS.fields]
+    rel_cols = [f.name for f in schemas.RELATIONS.fields]
+    nodes = ent.filter(F.col("kind") == "node").select(*node_cols)
+    ways = ent.filter(F.col("kind") == "way").select(*way_cols)
+    rels = ent.filter(F.col("kind") == "relation").select(*rel_cols)
+    return nodes, ways, rels

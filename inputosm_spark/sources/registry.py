@@ -30,3 +30,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
+
+
+def read_osm_file(spark: SparkSession, path: str):
+    """File-TYPE dispatch for OSM inputs — the reference's `input_file`
+    extension switch (inputosm.cpp:37-94): .pbf -> blob-parallel PBF
+    decode, .osm/.osc -> XML. Returns (nodes, ways, relations); .osc
+    rows carry the CDC `op` column."""
+    lower = path.lower()
+    if lower.endswith(".pbf"):
+        from inputosm_spark.sources import pbf
+
+        return pbf.read_pbf(spark, path)
+    if lower.endswith(".osc"):
+        from inputosm_spark.sources import osmxml
+
+        return osmxml.read_osc(spark, path)
+    if lower.endswith(".osm") or lower.endswith(".xml"):
+        from inputosm_spark.sources import osmxml
+
+        return osmxml.read_osm(spark, path)
+    raise ValueError(f"unsupported OSM input extension: {path}")

@@ -110,10 +110,12 @@ def _merge_batch(state_path: str):
         else:
             merged = latest_in_batch
         out = merged.filter(F.col("op") != "delete")
-        # overwrite-by-snapshot fallback (Iceberg MERGE INTO when present)
-        out.cache().count()
+        # overwrite-by-snapshot fallback (Iceberg MERGE INTO when present).
+        # localCheckpoint (not cache) before overwriting the path we just
+        # read: a lost cached partition would otherwise recompute from the
+        # half-truncated source directory and corrupt the state table.
+        out = out.localCheckpoint(eager=True)
         out.write.mode("overwrite").parquet(state_path)
-        out.unpersist()
 
     return apply
 
@@ -211,7 +213,12 @@ def stream_sessionize(events: DataFrame, gap_s: int = 1800):
                     s0, last, n = None, None, 0
                 if s0 is None:
                     s0 = g_start
-                last = g_end
+                else:
+                    # late-but-within-watermark events may precede the
+                    # open session's bounds: extend, never shrink (the
+                    # timeout timestamp must not move backwards)
+                    s0 = min(s0, g_start)
+                last = g_end if last is None else max(last, g_end)
                 n += int(g_n)
             state.update((s0, last, n))
             # event-time timeout: close the open session once the

@@ -149,3 +149,31 @@ def test_apply_changes_merge_semantics(spark, tmp_path):
     # deleting relation 300 (absent in base) leaves base untouched
     merged_rels = osmxml.apply_changes(rels, cr)
     assert merged_rels.count() == 1 and merged_rels.first().id == 20
+
+
+def test_apply_changes_multiple_ops_same_key(spark):
+    """Sequential-replay semantics when one change set carries several
+    ops for one key (inputosmxml.cpp:243-257): only the LAST op (by
+    version, then file order) decides — create+modify must not leave
+    duplicate rows, and a delete followed by a create keeps the row."""
+    base = spark.createDataFrame(
+        [(1, 1, "keep"), (2, 1, "gone")], "id long, version int, tags string"
+    )
+    ch = spark.createDataFrame(
+        [
+            # key 2: create v2 then delete v3 -> removed
+            (2, 2, "recreated", "create"),
+            (2, 3, None, "delete"),
+            # key 3: delete v1 then create v2 -> present with v2 row
+            (3, 1, None, "delete"),
+            (3, 2, "born", "create"),
+            # key 4: create v1 then modify v2 -> ONE row, the v2 state
+            (4, 1, "draft", "create"),
+            (4, 2, "final", "modify"),
+        ],
+        "id long, version int, tags string, op string",
+    )
+    got = {r.id: r for r in osmxml.apply_changes(base, ch).collect()}
+    assert set(got) == {1, 3, 4}  # 2 deleted, no duplicates anywhere
+    assert got[3].tags == "born" and got[3].version == 2
+    assert got[4].tags == "final" and got[4].version == 2

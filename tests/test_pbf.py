@@ -1,0 +1,161 @@
+"""PBF ingest (S2/S3/S5/S6/S7/F3): golden-fixture parity with the XML
+path and with the reference's expected parses
+(/root/reference/test/unit/read_osm_test.cpp:142-328), plus unit tests
+for the numpy varint kernel against an independent encoder.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from inputosm_spark.sources import osmxml, pbf
+from tests import pbf_writer as W
+from tests.test_osmxml import OSM, _rows, _write
+
+
+def _epoch(s: str) -> int:
+    return int(dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc)
+               .timestamp())
+
+
+GOLDEN_NODES = [
+    dict(id=1, raw_lat=525200000, raw_lon=134050000,
+         tags={"name": "Node One", "amenity": "cafe"},
+         version=3, ts_s=_epoch("2020-01-02T03:04:05"), changeset=111),
+    dict(id=2, raw_lat=488566000, raw_lon=23522000,
+         tags={"name": "Node Two"},
+         version=2, ts_s=_epoch("2020-02-03T04:05:06"), changeset=222),
+]
+GOLDEN_WAY = dict(id=10, node_refs=[1, 2],
+                  tags={"highway": "residential", "name": "A Street"},
+                  version=4, ts_s=_epoch("2020-03-04T05:06:07"), changeset=333)
+GOLDEN_REL = dict(id=20, members=[(0, 1, "stop"), (1, 10, "route")],
+                  tags={"type": "route", "route": "bus"},
+                  version=5, ts_s=_epoch("2020-04-05T06:07:08"), changeset=444)
+
+
+@pytest.fixture()
+def golden_pbf(tmp_path) -> str:
+    """Two OSMData blobs: blob A carries node 1 as DENSE and node 2 as
+    a PLAIN Node (both decode paths); blob B carries the way and the
+    relation — multi-blob planning is exercised, not just one block."""
+    block_a = W.primitive_block(
+        lambda st: [
+            W.dense_group(st, [GOLDEN_NODES[0]]),
+            W.plain_node_group(st, GOLDEN_NODES[1]),
+        ]
+    )
+    block_b = W.primitive_block(
+        lambda st: [W.way_group(st, GOLDEN_WAY), W.relation_group(st, GOLDEN_REL)]
+    )
+    return W.write_pbf(str(tmp_path / "sample.osm.pbf"), [block_a, block_b])
+
+
+# --- wire-format unit tests (S6/F3) -----------------------------------------
+
+
+def test_numpy_varint_roundtrip():
+    vals = [0, 1, 127, 128, 300, 2**21 - 3, 2**35 + 17, 2**63 - 1]
+    data = b"".join(W.vu(v) for v in vals)
+    got = pbf.decode_varints(data)
+    assert [int(x) for x in got] == vals
+
+
+def test_zigzag_roundtrip_including_negatives():
+    vals = [0, -1, 1, -2, 2, -(10**12), 10**12, -(2**62)]
+    data = b"".join(W.sv(v) for v in vals)
+    got = pbf.decode_packed_sint64(data)
+    assert [int(x) for x in got] == vals
+
+
+def test_delta_decoding():
+    vals = [100, 101, 99, 150, -7]
+    data = b"".join(W.sv(d) for d in W.deltas(vals))
+    got = pbf.decode_packed_sint64(data, delta=True)
+    assert [int(x) for x in got] == vals
+
+
+def test_field_iterator_wire_types():
+    msg = W.varf(1, 42) + W.lenf(2, b"abc") + W.varf(3, 7)
+    fields = [(f, w, bytes(v) if w == 2 else v) for f, w, v in pbf.iter_fields(msg)]
+    assert fields == [(1, 0, 42), (2, 2, b"abc"), (3, 0, 7)]
+
+
+# --- blob planning (S3) -------------------------------------------------------
+
+
+def test_plan_blobs_headers_only(golden_pbf):
+    plans = pbf.plan_blobs(golden_pbf)
+    assert [p["blob_type"] for p in plans] == ["OSMHeader", "OSMData", "OSMData"]
+    offs = [p["offset"] for p in plans]
+    assert offs == sorted(offs) and all(p["datasize"] > 0 for p in plans)
+
+
+# --- golden parse (S2/S7-S11) --------------------------------------------------
+
+
+def test_read_pbf_matches_golden(spark, golden_pbf):
+    nodes, ways, rels = pbf.read_pbf(spark, golden_pbf)
+    assert (nodes.count(), ways.count(), rels.count()) == (2, 1, 1)
+
+    n1 = nodes.filter("id = 1").first()  # dense path
+    assert n1.raw_lat == 525200000 and n1.raw_lon == 134050000
+    assert n1.tags == {"name": "Node One", "amenity": "cafe"}
+    assert n1.version == 3 and n1.changeset == 111
+    assert n1.ts == dt.datetime(2020, 1, 2, 3, 4, 5)
+
+    n2 = nodes.filter("id = 2").first()  # plain-Node path
+    assert n2.raw_lat == 488566000 and n2.raw_lon == 23522000
+    assert n2.tags == {"name": "Node Two"}
+
+    w = ways.first()
+    assert w.node_refs == [1, 2]  # ordered (read_osm_test.cpp:246-250)
+    assert w.tags == {"highway": "residential", "name": "A Street"}
+
+    r = rels.first()
+    assert [(m.type, m.ref, m.role) for m in r.members] == [
+        (0, 1, "stop"), (1, 10, "route"),
+    ]
+    assert r.tags == {"type": "route", "route": "bus"}
+
+
+def test_read_pbf_parity_with_xml(spark, golden_pbf, tmp_path):
+    """The .pbf and .osm encodings of the same entities must parse to
+    identical DataFrames — the two ingest paths are interchangeable."""
+    pn, pw, pr = pbf.read_pbf(spark, golden_pbf)
+    xn, xw, xr = osmxml.read_osm(spark, _write(tmp_path, "s.osm", OSM))
+    for got, want in ((pn, xn), (pw, xw), (pr, xr)):
+        assert _rows(got) == _rows(want)
+
+
+def test_read_pbf_many_blobs_partitioning(spark, tmp_path):
+    """One task per blob: 8 blobs -> >1 partition and complete rows."""
+    blocks = []
+    for b in range(8):
+        ns = [
+            dict(id=100 * b + i, raw_lat=10**7 + b * 1000 + i,
+                 raw_lon=2 * 10**7 + i, tags={"blk": str(b)},
+                 version=1, ts_s=1_600_000_000 + b, changeset=b)
+            for i in range(5)
+        ]
+        blocks.append(W.primitive_block(lambda st, ns=ns: [W.dense_group(st, ns)]))
+    path = W.write_pbf(str(tmp_path / "many.osm.pbf"), blocks)
+    ent = pbf.read_pbf_entities(spark, path)
+    assert ent.count() == 40
+    assert ent.rdd.getNumPartitions() > 1
+    got = sorted(r.id for r in ent.select("id").collect())
+    assert got == sorted(100 * b + i for b in range(8) for i in range(5))
+
+
+def test_file_type_dispatch(spark, golden_pbf, tmp_path):
+    """S1: extension dispatch routes .pbf and .osm to the right reader."""
+    from inputosm_spark.sources.registry import read_osm_file
+
+    pn, _, _ = read_osm_file(spark, golden_pbf)
+    xn, _, _ = read_osm_file(spark, _write(tmp_path, "s.osm", OSM))
+    assert _rows(pn) == _rows(xn)
+    with pytest.raises(ValueError):
+        read_osm_file(spark, "/nope/file.txt")

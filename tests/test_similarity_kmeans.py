@@ -12,7 +12,7 @@ def test_kmeans_shapes_and_determinism(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     c1 = similarity.kmeans_centroids(emb, k=6, iters=2)
     rows = c1.collect()
-    assert len(rows) <= 6 and len(rows) > 0
+    assert len(rows) == 6  # empty clusters keep their previous centroid
     dim = emb.select(F.size("embedding")).first()[0]
     assert all(len(r.embedding) == dim for r in rows)
     # deterministic: same input partitioning -> same centroids
@@ -38,17 +38,32 @@ def test_kmeans_improves_or_holds_assignment_quality(spark, sf_dir):
                 "cid",
             )
         )
-        from inputosm_spark.operators.similarity import _as_double, _dot, _norm
+        from inputosm_spark.operators.similarity import dot_fp, fp_vec
 
-        cos = _dot(_as_double(F.col("embedding")), _as_double(F.col("cemb"))) / (
-            _norm(_as_double(F.col("embedding"))) * _norm(_as_double(F.col("cemb")))
+        pairs = joined.select(
+            fp_vec(F.col("embedding")).alias("a"), fp_vec(F.col("cemb")).alias("b")
         )
-        return joined.agg(F.avg(cos)).first()[0]
+        cos = dot_fp("a", "b").cast("double") / (
+            F.sqrt(dot_fp("a", "a").cast("double"))
+            * F.sqrt(dot_fp("b", "b").cast("double"))
+        )
+        return pairs.agg(F.avg(cos)).first()[0]
 
     trained = similarity.kmeans_centroids(emb, k=6, iters=2).select(
         F.col("cid").alias("vec_id"), "embedding"
     )
     assert mean_best_cos(trained) >= mean_best_cos(naive) - 1e-6
+
+
+def test_kmeans_keeps_k_on_empty_clusters(spark):
+    """Degenerate corpus (two tight blobs, k=4): clusters that capture
+    zero vectors must keep their previous centroid, not vanish."""
+    rows = [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = similarity.kmeans_centroids(emb, k=4, iters=2)
+    got = cent.collect()
+    assert len(got) == 4
+    assert sorted(r.cid for r in got) == [0, 1, 2, 3]
 
 
 def test_ivf_with_trained_centroids(spark, sf_dir):

@@ -174,3 +174,48 @@ def test_hot_cell_stream_matches_batch(spark, sf_dir, tmp_path):
         got.n == expected.n
     )
     assert joined.count() == got.count()
+
+
+def test_sessionize_late_event_does_not_shrink_session(spark, tmp_path):
+    """A late-but-within-watermark event older than the open session's
+    last_ts must extend the session backwards-safely: sess_end (and the
+    timeout) must NOT move backwards to the late event's timestamp."""
+    import shutil
+
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def mkbatch(i, rows):
+        df = spark.createDataFrame(
+            [
+                (eid, uid, "click", (base + pd.Timedelta(seconds=s)).to_pydatetime(), 0.0)
+                for eid, uid, s in rows
+            ],
+            stream_ops.EVENTS_DDL,
+        )
+        staged = tmp_path / f"stage{i}"
+        df.coalesce(1).write.parquet(str(staged))
+        part = next(staged.glob("part-*.parquet"))
+        dst = landing / f"batch{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    landing = tmp_path / "late_landing"
+    landing.mkdir()
+    mkbatch(0, [(1, 1, 1000), (2, 1, 2000)])          # open session [1000, 2000]
+    mkbatch(1, [(3, 1, 1500)])                         # LATE: inside the session
+    mkbatch(2, [(4, 2, 7000)])                         # watermark -> 5200 > 3800
+    mkbatch(3, [(5, 2, 8000)])                         # extra batch fires the timeout
+
+    src = stream_ops.read_event_stream(spark, str(landing), max_files_per_trigger=1)
+    out = str(tmp_path / "late_out")
+    stream_ops.run_sessionize_stream(src, str(tmp_path / "late_ckpt"), out)
+
+    got = {r.user_id: r for r in spark.read.parquet(out).collect()}
+    assert 1 in got, "user 1's session must close via the event-time timeout"
+    sess = got[1]
+    assert sess.sess_start == (base + pd.Timedelta(seconds=1000)).to_pydatetime()
+    # the buggy version set last = 1500 (the late event), shrinking the end
+    assert sess.sess_end == (base + pd.Timedelta(seconds=2000)).to_pydatetime()
+    assert sess.n_events == 3
