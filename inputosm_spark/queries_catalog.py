@@ -1277,6 +1277,39 @@ def q_rollup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_cells",
+    oracle=f"""
+    SELECT {_CELL3_SQL} AS cell3,
+           CASE WHEN n_chars < 500 THEN 'short'
+                WHEN n_chars < 2000 THEN 'mid' ELSE 'long' END AS len_band,
+           count(*) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY CUBE (1, 2)
+    """,
+)
+def q_cube_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (spatial cell, length band): every subtotal
+    combination — the grouping-sets surface beyond rollup (SURVEY §2.4;
+    rollup covers the hierarchy, cube the full lattice)."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    band = (
+        F.when(F.col("n_chars") < 500, "short")
+        .when(F.col("n_chars") < 2000, "mid")
+        .otherwise("long")
+    )
+    keyed = docs.select(
+        cells.cell_id_expr(lat, lon, 3).alias("cell3"),
+        band.alias("len_band"),
+        "n_chars",
+    )
+    return keyed.cube("cell3", "len_band").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
     "topk_dense_cells",
     oracle=f"""
     SELECT {_CELL5_SQL} AS cell5, count(*) AS cnt
@@ -1857,13 +1890,108 @@ def q_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.winnow_sketch(_t(spark, sf_dir, "documents"))
 
 
-@register("ivf_kmeans_topk")  # iterative float means: rows-only check
+def _kmeans_ivf_oracle(k: int = 8, iters: int = 2, n_probe: int = 2,
+                       topk: int = 3, n_queries: int = 50) -> str:
+    """SQL replay of the FULL k-means + IVF pipeline, Lloyd loop
+    unrolled. Every mean is an exact int64 sum divided ONCE by
+    (count * 1e6) — identical to the Spark kernel's
+    `V.sum(axis=0) / (len(V) * 1e6)` — so the trained centroids (and
+    therefore assignments, probes and final ranking) are bit-for-bit
+    reproducible across engines despite being an iterative float
+    computation."""
+    cos = ("round(list_dot_product({a}.iv, {b}.civ) / ({a}.nrm * {b}.cnrm), 4)")
+    sql = """
+    WITH ev AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> round(x * 1000000.0)) AS iv
+      FROM embeddings
+    ),
+    evn AS (SELECT vec_id, iv, sqrt(list_dot_product(iv, iv)) AS nrm FROM ev),
+    cent0 AS (
+      SELECT vec_id AS cid, list_transform(iv, x -> x / 1000000.0) AS cvec
+      FROM ev WHERE vec_id < {k}
+    )""".format(k=k)
+    prev = "cent0"
+    for i in range(iters):
+        sql += """,
+    civ{i} AS (
+      SELECT cid, list_transform(cvec, x -> round(x * 1000000.0)) AS civ
+      FROM {prev}
+    ),
+    civn{i} AS (
+      SELECT cid, civ, sqrt(list_dot_product(civ, civ)) AS cnrm FROM civ{i}
+    ),
+    asg{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos} DESC, c.cid) AS rn
+        FROM evn e, civn{i} c
+      ) WHERE rn = 1
+    ),
+    mean{i} AS (
+      SELECT a.cid, t.d,
+             sum(e.iv[CAST(t.d AS INT)]) / (count(*) * 1000000.0) AS m
+      FROM asg{i} a JOIN ev e USING (vec_id),
+           unnest(range(1, len(e.iv) + 1)) AS t(d)
+      GROUP BY 1, 2
+    ),
+    newc{i} AS (SELECT cid, list(m ORDER BY d) AS cvec FROM mean{i} GROUP BY cid),
+    cent{j} AS (
+      SELECT p.cid, coalesce(n.cvec, p.cvec) AS cvec
+      FROM {prev} p LEFT JOIN newc{i} n USING (cid)
+    )""".format(i=i, j=i + 1, prev=prev,
+                cos=cos.format(a="e", b="c"))
+        prev = f"cent{i + 1}"
+    sql += """,
+    fciv AS (
+      SELECT cid, list_transform(cvec, x -> round(x * 1000000.0)) AS civ
+      FROM {prev}
+    ),
+    fcivn AS (SELECT cid, civ, sqrt(list_dot_product(civ, civ)) AS cnrm FROM fciv),
+    fassign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {acos} DESC, c.cid) AS rn
+        FROM evn e, fcivn c
+      ) WHERE rn = 1
+    ),
+    fprobes AS (
+      SELECT qid, cid FROM (
+        SELECT e.vec_id AS qid, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {acos} DESC, c.cid) AS pr
+        FROM evn e, fcivn c WHERE e.vec_id < {nq}
+      ) WHERE pr <= {np}
+    ),
+    scored AS (
+      SELECT p.qid, a.vec_id AS neighbor_id,
+             round(list_dot_product(q.iv, n.iv) / (q.nrm * n.nrm), 4) AS cos,
+             row_number() OVER (PARTITION BY p.qid
+                                ORDER BY round(list_dot_product(q.iv, n.iv)
+                                               / (q.nrm * n.nrm), 4) DESC,
+                                         a.vec_id) AS rank
+      FROM fprobes p
+      JOIN fassign a ON a.cid = p.cid AND a.vec_id != p.qid
+      JOIN evn q ON q.vec_id = p.qid
+      JOIN evn n ON n.vec_id = a.vec_id
+    )
+    SELECT qid, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= {tk}
+    """.format(prev=prev, acos=cos.format(a="e", b="c"), nq=n_queries,
+               np=n_probe, tk=topk)
+    return sql
+
+
+@register("ivf_kmeans_topk", oracle=_kmeans_ivf_oracle())
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with REAL trained centroids: 2 Lloyd iterations of
-    distributed k-means feed the coarse quantizer (float means are
-    summation-order-dependent across engines, so this entry is
-    rows-only; the fixed-centroid ivf_topk carries the exact oracle
-    and tests/test_similarity_kmeans.py proves trainer quality)."""
+    distributed k-means feed the coarse quantizer. Fully oracle-gated:
+    the trainer's means are exact int sums / count (one IEEE division),
+    so DuckDB replays the whole iterative pipeline (loop unrolled in
+    _kmeans_ivf_oracle) bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = similarity.kmeans_centroids(emb, k=8, iters=2).select(
         F.col("cid").alias("vec_id"), "embedding"
