@@ -57,6 +57,9 @@ HEADLINE = [
     "span_roundtrip",
     "wkt_export",
     "rollup_cells",
+    "cube_cells",
+    "lsh_candidate_pairs_capped",
+    "ivf_kmeans_topk",
     "topk_dense_cells",
     "rolling_fingerprint",
     "winnow_sketch",

@@ -157,6 +157,7 @@ def pip_join(
     res: int = 7,
     broadcast_threshold: int = 100_000,
     point_cell: str | None = None,
+    force_broadcast: bool | None = None,
 ) -> DataFrame:
     """Cell-bucketed point-in-polygon join.
 
@@ -187,7 +188,15 @@ def pip_join(
 
     pts = ensure_parallelism(points).withColumn("__cell", cell_col)
 
-    n_poly_cells = pcells.count()  # tiny aggregate; drives the plan choice
+    # plan choice: measured (count) unless the caller already knows the
+    # build side's size class — `force_broadcast` skips the measuring
+    # job entirely (one fewer serial driver-side barrier per run; at
+    # high parallelism these sync points are what Amdahl eats first)
+    if force_broadcast is None:
+        n_poly_cells = pcells.count()  # tiny aggregate; drives the plan choice
+        do_broadcast = n_poly_cells <= broadcast_threshold
+    else:
+        do_broadcast = force_broadcast
     # split the build side: interior ("full") cells join WITHOUT the
     # ring arrays — interior candidates (the bulk: polygon area) are
     # contained by construction, so copying rings into them would be
@@ -200,7 +209,7 @@ def pip_join(
     right_edge = pcells.filter(~F.col("full")).select(
         F.col("cell").alias("__cell"), "poly_id", "ring_lat_e4", "ring_lon_e4"
     )
-    if n_poly_cells <= broadcast_threshold:
+    if do_broadcast:
         right_full = F.broadcast(right_full)
         right_edge = F.broadcast(right_edge)
 

@@ -14,9 +14,34 @@ corpus, sized so per-task work dominates scheduling overhead (the
 regime a 1000-executor cluster actually runs in; sub-second sf0.1
 suite queries would measure fixed overhead, not scaling).
 
+Three CEILING CONTROLS separate what the ENGINE loses from what this
+single shared-memory box cannot provide (a real N->4N cluster
+multiplies sockets, memory channels, GC threads and DAG schedulers;
+adding threads inside ONE pinned JVM multiplies none of them):
+
+  1. cpu_burn      — pure-Python integer work via multiprocessing
+                     (upper bound: core arithmetic scaling incl. any
+                     hypervisor steal / turbo effects).
+  2. dram_triad    — STREAM-triad numpy kernels, 80 MB/proc working
+                     sets (upper bound: memory-bandwidth scaling).
+  3. spark_map     — a SHUFFLE-FREE, Python-free, map-only Spark job
+                     (range -> integer column exprs -> noop) in the
+                     same single JVM. This contains ZERO of our plan —
+                     any loss here is the Spark-runtime constant
+                     (one DAGScheduler event loop, one GC, one
+                     codegen/noop sink path shared by all 32 threads).
+
+`normalized_efficiency` divides the job's efficiency by the spark_map
+ceiling: it answers "of the scaling the Spark runtime itself can
+deliver on this box, how much does OUR PLAN retain?" — the quantity
+that actually transfers to a real cluster, where the runtime constant
+is per-executor and does not serialize across machines.
+
 Each level runs in a fresh subprocess (a SparkSession's master is
-fixed per JVM). Results land in BENCH_SCALING.json and are summarized
-in BASELINE.md.
+fixed per JVM), pinned with taskset, warmed up untimed, best-of-N
+(min wall) per level, levels alternated across rounds so both sample
+the same host-noise window. Results land in BENCH_SCALING.json and
+are summarized in BASELINE.md.
 
 Usage: python scripts/bench_scaling.py [n_docs]
 """
@@ -50,14 +75,16 @@ def run_job(cpus: int, n_docs: int) -> dict:
     return json.loads(line)
 
 
-def hardware_ceiling(small_n: int, big_n: int) -> float:
-    """Raw-CPU scaling control: the same pure-Python integer burn via
-    multiprocessing, pinned like the Spark runs. On shared-memory VMs
-    this ceiling is < 1.0 (a real N->4N cluster multiplies memory
-    bandwidth and sockets; a thread-count change on one box does not).
-    Normalizing the job efficiency by this isolates what the ENGINE
-    loses from what the sandbox hardware cannot provide.
-    """
+def _pinned(n: int, prog: str, *args: str) -> str:
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{n - 1}", sys.executable, "-c", prog, *args],
+        capture_output=True, text=True, timeout=900,
+    )
+    return out.stdout.strip().splitlines()[-1]
+
+
+def cpu_burn_ceiling(small_n: int, big_n: int) -> float:
+    """Control 1: pure-Python integer burn via multiprocessing."""
     prog = (
         "from multiprocessing import Pool\n"
         "import sys, time\n"
@@ -72,13 +99,74 @@ def hardware_ceiling(small_n: int, big_n: int) -> float:
     )
 
     def rate(n: int) -> float:
-        out = subprocess.run(
-            ["taskset", "-c", f"0-{n - 1}", sys.executable, "-c", prog, str(n)],
-            capture_output=True, text=True, timeout=600,
-        )
-        return float(out.stdout.strip().splitlines()[-1])
+        return float(_pinned(n, prog, str(n)))
 
     return (rate(big_n) / rate(small_n)) / (big_n / small_n)
+
+
+def dram_triad_ceiling(small_n: int, big_n: int) -> float:
+    """Control 2: STREAM-triad aggregate memory bandwidth."""
+    prog = (
+        "from multiprocessing import Pool\n"
+        "import sys, time\n"
+        "import numpy as np\n"
+        "def triad(_):\n"
+        "    n = 10_000_000\n"
+        "    a = np.empty(n); b = np.full(n, 1.5); c = np.full(n, 2.5)\n"
+        "    np.multiply(b, 3.0, out=a); a += c\n"
+        "    t0 = time.time()\n"
+        "    for _ in range(6):\n"
+        "        np.multiply(b, 3.0, out=a); a += c\n"
+        "    return 6 * 3 * n * 8 / (time.time() - t0)\n"
+        "n = int(sys.argv[1])\n"
+        "with Pool(n) as p: rates = p.map(triad, range(n))\n"
+        "print(sum(rates) / 1e9)\n"
+    )
+
+    def gbps(n: int) -> float:
+        return float(_pinned(n, prog, str(n)))
+
+    return (gbps(big_n) / gbps(small_n)) / (big_n / small_n)
+
+
+def spark_map_ceiling(small_n: int, big_n: int) -> dict:
+    """Control 3: map-only Spark job (no shuffle, no Python workers) —
+    the Spark-RUNTIME scaling ceiling inside one JVM on this box."""
+    prog = (
+        "import os, sys, time\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "from pyspark.sql import functions as F\n"
+        "from inputosm_spark import get_spark\n"
+        "cpus = int(sys.argv[1])\n"
+        "os.environ.setdefault('INPUTOSM_DRIVER_MEM', '48g')\n"
+        "spark = get_spark(cpus=cpus, shuffle_partitions=256,\n"
+        "                  app_name=f'mapceil[{cpus}]')\n"
+        "n = 1_600_000_000\n"
+        "df = spark.range(n, numPartitions=256)\n"
+        "col = F.col('id')\n"
+        "expr = (col * 2654435761 % 1000003) * (col % 97) \\\n"
+        "       + F.shiftrightunsigned(col, 7)\n"
+        "out = df.select((expr % 1000117).alias('v')) \\\n"
+        "        .filter(F.col('v') % 1009 != 0)\n"
+        "def run():\n"
+        "    out.write.format('noop').mode('overwrite').save()\n"
+        "run()\n"
+        "best = 1e9\n"
+        "for _ in range(5):\n"
+        "    t0 = time.monotonic(); run()\n"
+        "    best = min(best, time.monotonic() - t0)\n"
+        "print(n / best)\n"
+    )
+
+    def rate(n: int) -> float:
+        return float(_pinned(n, prog, str(n)))
+
+    small, big = rate(small_n), rate(big_n)
+    return {
+        "rows_per_sec_small": round(small),
+        "rows_per_sec_big": round(big),
+        "efficiency": round((big / small) / (big_n / small_n), 3),
+    }
 
 
 def main() -> int:
@@ -103,7 +191,9 @@ def main() -> int:
 
     speedup = big["docs_per_sec"] / small["docs_per_sec"]
     efficiency = speedup / (big_n / small_n)
-    ceiling = hardware_ceiling(small_n, big_n)
+    cpu_ceiling = cpu_burn_ceiling(small_n, big_n)
+    dram_ceiling = dram_triad_ceiling(small_n, big_n)
+    spark_ceiling = spark_map_ceiling(small_n, big_n)
 
     result = {
         "job": "spatial-join+tiling pipeline (scripts/scaling_job.py)",
@@ -118,8 +208,20 @@ def main() -> int:
         "scaling_efficiency": round(efficiency, 3),
         "target_efficiency": 0.8,
         "meets_target": efficiency >= 0.8,
-        "hardware_ceiling_efficiency": round(ceiling, 3),
-        "normalized_efficiency": round(efficiency / ceiling, 3),
+        "controls": {
+            "cpu_burn_efficiency": round(cpu_ceiling, 3),
+            "dram_triad_efficiency": round(dram_ceiling, 3),
+            "spark_map_only": spark_ceiling,
+        },
+        "normalized_efficiency": round(
+            efficiency / spark_ceiling["efficiency"], 3
+        ),
+        "normalization": (
+            "job efficiency / map-only-Spark efficiency: the share of the "
+            "single-JVM Spark runtime's own 8->32 scaling that OUR PLAN "
+            "retains; on a real N->4N cluster the runtime constant is "
+            "per-executor and does not serialize across machines"
+        ),
         "raw_small": small,
         "raw_big": big,
     }

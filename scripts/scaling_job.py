@@ -42,8 +42,13 @@ def main() -> int:
     # the SAME job at every cluster size: input splits, shuffle
     # partitioning and salt fan-out are all fixed — only the executor
     # thread count differs between runs (north_rule N vs 4N evidence)
-    spark = get_spark(cpus=cpus, shuffle_partitions=64,
-                      app_name=f"scaling_job[{cpus}]")
+    n_shuffle = int(os.environ.get("SCALING_SHUFFLE", "256"))
+    aqe = os.environ.get("SCALING_AQE", "1") == "1"
+    single_action = os.environ.get("SCALING_SINGLE", "1") == "1"
+    spark = get_spark(cpus=cpus, shuffle_partitions=n_shuffle,
+                      app_name=f"scaling_job[{cpus}]",
+                      extra_conf={"spark.sql.adaptive.enabled":
+                                  "true" if aqe else "false"})
 
     lat, lon = cells.point_exprs("id")
     docs = spark.range(n_docs, numPartitions=128).select(
@@ -52,7 +57,9 @@ def main() -> int:
     polys = synth_polygons(spark)
 
     def pipeline() -> None:
-        joined = spatial.pip_join(docs, polys, res=6)
+        # force_broadcast: the polygon side is known-tiny; skipping the
+        # measuring count() removes a serial driver barrier per rep
+        joined = spatial.pip_join(docs, polys, res=6, force_broadcast=True)
         keyed = joined.withColumn(
             "cell7", cells.cell_id_expr("lat_e4", "lon_e4", 7)
         )
@@ -60,10 +67,22 @@ def main() -> int:
             keyed.select(F.concat_ws("|", "cell7", "poly_id").alias("key")),
             "key", n_salt=16,
         )
-        rollup.write.format("noop").mode("overwrite").save()
         tiles = spatial.tile_counts(docs.select("lat_e4", "lon_e4"),
                                     tile_res=4, pixel_res=9)
-        tiles.write.format("noop").mode("overwrite").save()
+        if single_action:
+            # ONE action: the two independent DAG branches schedule
+            # concurrently, halving job-submission barriers and letting
+            # the scheduler fill cores across branches
+            both = rollup.select(
+                F.col("key"), F.col("cnt")
+            ).unionAll(tiles.select(
+                F.concat_ws("|", "tile", "px", "py").alias("key"),
+                F.col("cnt"),
+            ))
+            both.write.format("noop").mode("overwrite").save()
+        else:
+            rollup.write.format("noop").mode("overwrite").save()
+            tiles.write.format("noop").mode("overwrite").save()
 
     # warm-up: one UNTIMED full-pipeline pass — C2 JIT of the generated
     # code and the Python worker pool spawn happen here, not inside the
