@@ -60,6 +60,9 @@ HEADLINE = [
     "cube_cells",
     "lsh_candidate_pairs_capped",
     "ivf_kmeans_topk",
+    "media_frames",
+    "hash_split",
+    "stratified_sample",
     "topk_dense_cells",
     "rolling_fingerprint",
     "winnow_sketch",

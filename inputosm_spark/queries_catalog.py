@@ -1639,6 +1639,56 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_frames",
+    oracle=f"""
+    WITH {_PER_CHUNK_ONLY_SQL},
+    refs AS (
+      SELECT DISTINCT 'media://' || CAST(doc_id AS VARCHAR) || '/'
+                      || CAST(i AS VARCHAR) AS media_ref,
+             CAST(doc_id % 5 + 1 AS INT) AS n_frames
+      FROM per_chunk WHERE is_media = 1
+    )
+    SELECT media_ref, CAST(t.i AS INT) AS frame_idx,
+           CAST(t.i * 1000 AS INT) AS t_ms,
+           md5(md5(media_ref) || CAST(t.i AS VARCHAR)) AS frame_hex
+    FROM refs, unnest(range(0, n_frames)) AS t(i)
+    """,
+)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling end-to-end: the 1->N multimodal fan-out
+    (mapInPandas where output batches don't align with input rows),
+    fully oracle-gated: payload = utf8(md5_hex(ref)) bytes and the stub
+    frame = md5(payload + str(i)), so DuckDB replays every frame as
+    md5(md5(ref) || i). Frame count derives from duration_ms
+    (doc_id % 5 + 1 seconds at 1 frame/s)."""
+    from inputosm_spark import multimodal
+
+    docs = interleave_documents(_t(spark, sf_dir, "documents"))
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    doc_id = F.split(F.split("media_ref", "//").getItem(1), "/").getItem(0)
+    media = refs.select(
+        "media_ref",
+        F.lit("video").alias("media_type"),
+        F.lit(64).cast("int").alias("width"),
+        F.lit(64).cast("int").alias("height"),
+        ((F.pmod(doc_id.cast("long"), F.lit(5)) + 1) * 1000)
+        .cast("int").alias("duration_ms"),
+        F.encode(F.md5("media_ref"), "utf-8").alias("payload"),
+    )
+    frames = multimodal.sample_frames(media, every_ms=1000, max_frames=8,
+                                      fake=True)
+    return frames.select(
+        "media_ref", "frame_idx", "t_ms",
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
+@register(
     "embedding_near_dup",
     oracle=f"""
     WITH sig AS ({_SIG_SQL})
@@ -1655,6 +1705,61 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies — pair work scales with bucket collisions, not corpus^2."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.near_dup_pairs(emb, n_planes=8, threshold=0.15, round_scale=4)
+
+
+@register(
+    "hash_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN ((((doc_id % 1000003) * 40503 + 1013) % 9973) % 100) < 80
+                THEN 'train'
+                WHEN ((((doc_id % 1000003) * 40503 + 1013) % 9973) % 100) < 90
+                THEN 'val' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: a key-functional
+    modular hash, so membership never reshuffles on re-runs or corpus
+    growth (val->train leakage is contamination). Pure filter — pushes
+    to the scan at 100 TB."""
+    from inputosm_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.train_val_test_split(docs, "doc_id", train=80, val=10)
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    WITH banded AS (
+      SELECT doc_id,
+             CASE WHEN n_chars < 500 THEN 'short'
+                  WHEN n_chars < 2000 THEN 'mid' ELSE 'long' END AS len_band,
+             ((((doc_id % 1000003) * 40503 + 1013) % 9973) % 100) AS b
+      FROM documents
+    )
+    SELECT doc_id, len_band FROM banded
+    WHERE b < (CASE len_band WHEN 'long' THEN 100 WHEN 'mid' THEN 50
+                             WHEN 'short' THEN 10 ELSE 0 END)
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling (corpus mixing): keep
+    100% long / 50% mid / 10% short documents — a scan-time filter,
+    no shuffle, stable across reruns."""
+    from inputosm_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    band = (
+        F.when(F.col("n_chars") < 500, "short")
+        .when(F.col("n_chars") < 2000, "mid")
+        .otherwise("long")
+    )
+    banded = docs.select("doc_id", band.alias("len_band"))
+    return sampling.stratified_sample(
+        banded, "len_band", {"long": 100, "mid": 50, "short": 10}, "doc_id"
+    )
 
 
 @register(

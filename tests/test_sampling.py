@@ -1,0 +1,42 @@
+"""Deterministic sampling: key-functional stability (no reshuffles on
+corpus growth), ratio sanity, and filter-only semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from inputosm_spark.operators import sampling
+
+
+def test_split_ratios_and_stability(spark):
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    split1 = {r.doc_id: r.split
+              for r in sampling.train_val_test_split(df, "doc_id").collect()}
+    n = len(split1)
+    counts = {}
+    for s in split1.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert abs(counts["train"] / n - 0.80) < 0.02
+    assert abs(counts["val"] / n - 0.10) < 0.02
+    assert abs(counts["test"] / n - 0.10) < 0.02
+
+    # key-functional: doubling the corpus must not move ANY old row
+    big = spark.range(40_000).select(F.col("id").alias("doc_id"))
+    split2 = {r.doc_id: r.split
+              for r in sampling.train_val_test_split(big, "doc_id").collect()}
+    assert all(split2[k] == v for k, v in split1.items())
+
+
+def test_stratified_sample_rates_and_subset(spark):
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.pmod("id", F.lit(2)) == 0, "a").otherwise("b").alias("st"),
+    )
+    out = sampling.stratified_sample(df, "st", {"a": 100, "b": 20}, "doc_id")
+    got = out.groupBy("st").count().collect()
+    by = {r.st: r["count"] for r in got}
+    assert by["a"] == 5_000                      # 100% kept
+    assert abs(by["b"] / 5_000 - 0.20) < 0.03    # ~20% kept
+    # unknown strata are dropped entirely
+    out2 = sampling.stratified_sample(df, "st", {"a": 100}, "doc_id")
+    assert out2.filter("st = 'b'").count() == 0
