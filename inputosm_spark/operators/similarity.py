@@ -117,29 +117,41 @@ def _empty_pairs() -> pd.DataFrame:
     )
 
 
+_GEMM_CHUNK_CELLS = 4_000_000  # max nq*nc materialized at once (~120 MB out)
+
+
 def _gemm_pairs(qpdf: pd.DataFrame, cpdf: pd.DataFrame,
                 upper_only: bool = False) -> pd.DataFrame:
-    """All (q, c) dots for one bucket via a single exact GEMM."""
+    """All (q, c) dots for one bucket via exact GEMM — chunked on the
+    query side so a degenerate giant bucket costs bounded memory per
+    step instead of one nq x nc allocation."""
     if len(qpdf) == 0 or len(cpdf) == 0:
         return _empty_pairs()
-    Q = np.stack(qpdf["iv"].to_numpy()).astype(np.float64)
     C = np.stack(cpdf["iv"].to_numpy()).astype(np.float64)
-    D = (Q @ C.T).astype(np.int64)  # exact (ints < 2^53)
-    nq, nc = D.shape
-    qid = np.repeat(qpdf["qid"].to_numpy(), nc)
-    nid = np.tile(cpdf["nid"].to_numpy(), nq)
-    out = pd.DataFrame(
-        {
-            "qid": qid,
-            "nid": nid,
-            "dot": D.ravel(),
-            "qns": np.repeat(qpdf["ns"].to_numpy(), nc),
-            "cns": np.tile(cpdf["ns"].to_numpy(), nq),
-        }
-    )
-    if upper_only:  # canonical a < b pairs for self-joins
-        out = out[out["qid"] < out["nid"]]
-    return out
+    nc = len(cpdf)
+    nid = cpdf["nid"].to_numpy()
+    cns = cpdf["ns"].to_numpy()
+    step = max(1, _GEMM_CHUNK_CELLS // max(nc, 1))
+    chunks = []
+    for lo in range(0, len(qpdf), step):
+        qc = qpdf.iloc[lo : lo + step]
+        Q = np.stack(qc["iv"].to_numpy()).astype(np.float64)
+        D = (Q @ C.T).astype(np.int64)  # exact (ints < 2^53)
+        nq = len(qc)
+        out = pd.DataFrame(
+            {
+                "qid": np.repeat(qc["qid"].to_numpy(), nc),
+                "nid": np.tile(nid, nq),
+                "dot": D.ravel(),
+                "qns": np.repeat(qc["ns"].to_numpy(), nc),
+                "cns": np.tile(cns, nq),
+            }
+        )
+        if upper_only:  # canonical a < b pairs for self-joins
+            out = out[out["qid"] < out["nid"]]
+        chunks.append(out)
+    return chunks[0] if len(chunks) == 1 else pd.concat(chunks,
+                                                        ignore_index=True)
 
 
 def _bucket_pair_dots(q: DataFrame, c: DataFrame, key: str,
@@ -193,9 +205,15 @@ def cosine_topk(
     Cosine is rounded to `round_scale` decimals *before* ranking and
     ties broken by corpus id — a total order that is engine-neutral.
     """
-    qrows = _prep(queries, "qid", qid_col, vec_col).collect()
+    qrows = _prep(queries, "qid", qid_col, vec_col).limit(100_001).collect()
     if not qrows:
         raise ValueError("cosine_topk: empty query set")
+    if len(qrows) > 100_000:
+        raise ValueError(
+            "cosine_topk is the small-query-set exactness baseline "
+            "(queries are collected into the kernel closure); use "
+            "ann_lsh_topk or ivf_topk for large query sets"
+        )
     Q = np.array([r.iv for r in qrows], dtype=np.float64)
     qids = np.array([r.qid for r in qrows], dtype=np.int64)
     qns = np.array([r.ns for r in qrows], dtype=np.int64)
@@ -289,9 +307,12 @@ def _centroid_dots(vectors: DataFrame, centroids: DataFrame,
     DESC, cid ASC) happens in Catalyst, not here, so tie-breaks match
     the oracle bit-for-bit.
     """
-    crows = _prep(centroids, "cid").collect()
+    crows = _prep(centroids, "cid").limit(65_537).collect()
     if not crows:
         raise ValueError("empty centroid set")
+    if len(crows) > 65_536:
+        raise ValueError("coarse quantizer too large to broadcast as a "
+                         "kernel closure; shard the centroid table")
     crows = sorted(crows, key=lambda r: r.cid)
     C = np.array([r.iv for r in crows], dtype=np.float64)
     cids = np.array([r.cid for r in crows], dtype=np.int64)

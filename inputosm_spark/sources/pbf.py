@@ -43,7 +43,7 @@ import zlib
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -236,6 +236,7 @@ def decode_primitive_block(payload: bytes) -> dict[str, list[dict]]:
         return (offset + granularity * raw) // 100
 
     nodes: list[dict] = []
+    dense: list[dict] = []
     ways: list[dict] = []
     rels: list[dict] = []
     for g in groups:
@@ -244,13 +245,15 @@ def decode_primitive_block(payload: bytes) -> dict[str, list[dict]]:
                 nodes.append(_decode_plain_node(val, st, granularity,
                                                 lat_offset, lon_offset,
                                                 date_granularity))
-            elif fno == 2:  # DenseNodes
-                nodes.extend(_decode_dense(val, st, raw7, date_granularity))
+            elif fno == 2:  # DenseNodes (columnar)
+                block = _decode_dense(val, st, raw7, date_granularity)
+                if block is not None:
+                    dense.append(block)
             elif fno == 3:
                 ways.append(_decode_way(val, st, date_granularity))
             elif fno == 4:
                 rels.append(_decode_relation(val, st, date_granularity))
-    return {"nodes": nodes, "ways": ways, "relations": rels}
+    return {"nodes": nodes, "dense": dense, "ways": ways, "relations": rels}
 
 
 def _decode_plain_node(msg, st, granularity, lat_offset, lon_offset,
@@ -283,7 +286,9 @@ def _decode_plain_node(msg, st, granularity, lat_offset, lon_offset,
     }
 
 
-def _decode_dense(msg, st, raw7, date_granularity) -> list[dict]:
+def _decode_dense(msg, st, raw7, date_granularity) -> dict[str, object] | None:
+    """DenseNodes -> COLUMNAR arrays (the bulk of any real planet file:
+    everything stays numpy end-to-end except the per-node tag dicts)."""
     ids = lats = lons = versions = timestamps = changesets = None
     keys_vals = np.array([], dtype=np.int64)
     for fno, _, val in iter_fields(msg):
@@ -301,40 +306,41 @@ def _decode_dense(msg, st, raw7, date_granularity) -> list[dict]:
             lats = raw7(decode_packed_sint64(bytes(val), delta=True), 0)
         elif fno == 9:
             lons = raw7(decode_packed_sint64(bytes(val), delta=True), 0)
-    if ids is None:
-        return []
-    # keys_vals: 0-terminated (k,v) runs, one run per node
-    for fno, _, val in iter_fields(msg):
-        if fno == 10:
+        elif fno == 10:
             keys_vals = decode_packed_uint(bytes(val))
-    tag_runs: list[dict] = []
+    if ids is None:
+        return None
+    n = len(ids)
+    # keys_vals: 0-terminated (k,v) runs, one run per node — decoded
+    # fully vectorized into (offsets, key_idx, val_idx) against the
+    # string table (string index 0 is reserved empty per spec, so a 0
+    # is always a run terminator): zero per-node Python
     if keys_vals.size:
         zeros = np.flatnonzero(keys_vals == 0)
-        start = 0
-        for z in zeros:
-            run = keys_vals[start:z]
-            tag_runs.append(_tags(run[0::2], run[1::2], st))
-            start = z + 1
-    while len(tag_runs) < len(ids):
-        tag_runs.append({})
-    out = []
-    for i in range(len(ids)):
-        out.append(
-            {
-                "id": int(ids[i]),
-                "raw_lat": int(lats[i]),
-                "raw_lon": int(lons[i]),
-                "tags": tag_runs[i],
-                "version": int(versions[i]) if versions is not None else 0,
-                "ts_s": (
-                    float(timestamps[i]) * date_granularity / 1000.0
-                    if timestamps is not None
-                    else np.nan
-                ),
-                "changeset": int(changesets[i]) if changesets is not None else 0,
-            }
-        )
-    return out
+        starts = np.concatenate(([0], zeros[:-1] + 1))
+        counts = (zeros - starts) // 2
+        flat = keys_vals[keys_vals != 0]
+        key_idx, val_idx = flat[0::2], flat[1::2]
+    else:
+        counts = np.zeros(0, dtype=np.int64)
+        key_idx = val_idx = np.zeros(0, dtype=np.int64)
+    counts = np.concatenate([counts, np.zeros(n - len(counts), dtype=np.int64)])
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    return {
+        "id": ids.astype(np.int64),
+        "raw_lat": lats.astype(np.int64),
+        "raw_lon": lons.astype(np.int64),
+        "tag_offsets": offsets,
+        "tag_key_idx": key_idx,
+        "tag_val_idx": val_idx,
+        "strings": st.strings,
+        "version": (versions.astype(np.int64) if versions is not None
+                    else np.zeros(n, dtype=np.int64)),
+        "ts_s": (timestamps.astype(np.float64) * date_granularity / 1000.0
+                 if timestamps is not None else np.full(n, np.nan)),
+        "changeset": (changesets.astype(np.int64) if changesets is not None
+                      else np.zeros(n, dtype=np.int64)),
+    }
 
 
 def _decode_way(msg, st, date_granularity) -> dict:
@@ -407,16 +413,60 @@ _ENTITY_DDL = (
 )
 
 
-def _records_to_pdf(recs: dict[str, list[dict]]) -> pd.DataFrame:
+_PA_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("id", pa.int64()),
+        ("raw_lat", pa.int64()),
+        ("raw_lon", pa.int64()),
+        ("node_refs", pa.list_(pa.int64())),
+        ("members", pa.list_(pa.struct(
+            [("type", pa.int32()), ("ref", pa.int64()), ("role", pa.string())]
+        ))),
+        ("tags", pa.map_(pa.string(), pa.string())),
+        ("version", pa.int32()),
+        ("ts", pa.timestamp("us")),
+        ("changeset", pa.int64()),
+    ]
+)
+
+
+def _dense_to_batch(b: dict) -> pa.RecordBatch:
+    """Columnar dense-node block -> Arrow batch with ZERO pandas and
+    ZERO per-row Python: the tags MapArray is assembled from the
+    string-table dictionary via vectorized take() on the decoded
+    key/value index arrays (the planet-file hot path)."""
+    n = len(b["id"])
+    ts_us = np.where(np.isnan(b["ts_s"]), 0, b["ts_s"] * 1e6).astype(np.int64)
+    ts = pa.array(ts_us, type=pa.timestamp("us"), mask=np.isnan(b["ts_s"]))
+    st_arr = pa.array(b["strings"], type=pa.string())
+    tags = pa.MapArray.from_arrays(
+        pa.array(b["tag_offsets"], type=pa.int32()),
+        st_arr.take(pa.array(b["tag_key_idx"], type=pa.int64())),
+        st_arr.take(pa.array(b["tag_val_idx"], type=pa.int64())),
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(["node"] * n, type=pa.string()),
+            pa.array(b["id"], type=pa.int64()),
+            pa.array(b["raw_lat"], type=pa.int64()),
+            pa.array(b["raw_lon"], type=pa.int64()),
+            pa.nulls(n, type=_PA_SCHEMA.field("node_refs").type),
+            pa.nulls(n, type=_PA_SCHEMA.field("members").type),
+            tags.cast(_PA_SCHEMA.field("tags").type),
+            pa.array(b["version"], type=pa.int32()),
+            ts,
+            pa.array(b["changeset"], type=pa.int64()),
+        ],
+        schema=_PA_SCHEMA,
+    )
+
+
+def _rows_to_batch(recs: dict[str, list]) -> pa.RecordBatch | None:
     rows = []
     for kind, lst in (("node", recs["nodes"]), ("way", recs["ways"]),
                       ("relation", recs["relations"])):
         for r in lst:
-            ts = (
-                pd.Timestamp(r["ts_s"], unit="s")
-                if r["ts_s"] == r["ts_s"]
-                else pd.NaT
-            )
             rows.append(
                 {
                     "kind": kind,
@@ -425,25 +475,31 @@ def _records_to_pdf(recs: dict[str, list[dict]]) -> pd.DataFrame:
                     "raw_lon": r.get("raw_lon"),
                     "node_refs": r.get("node_refs"),
                     "members": r.get("members"),
-                    "tags": r["tags"],
+                    "tags": list(r["tags"].items()),
                     "version": r["version"],
-                    "ts": ts,
+                    "ts": (int(r["ts_s"] * 1e6)
+                           if r["ts_s"] == r["ts_s"] else None),
                     "changeset": r["changeset"],
                 }
             )
-    return pd.DataFrame(
-        rows,
-        columns=[
-            "kind", "id", "raw_lat", "raw_lon", "node_refs", "members",
-            "tags", "version", "ts", "changeset",
-        ],
-    )
+    if not rows:
+        return None
+    return pa.RecordBatch.from_pylist(rows, schema=_PA_SCHEMA)
+
+
+def _records_to_batches(recs: dict[str, list]):
+    for b in recs["dense"]:
+        yield _dense_to_batch(b)
+    rb = _rows_to_batch(recs)
+    if rb is not None:
+        yield rb
 
 
 def read_pbf_entities(spark: SparkSession, path: str) -> DataFrame:
     """All entities of a .osm.pbf as one DataFrame (kind-discriminated
     superset schema). One Spark task decodes one blob — the reference's
-    work-queue granularity (inputosmpbf.cpp:1028-1056)."""
+    work-queue granularity (inputosmpbf.cpp:1028-1056). mapInArrow:
+    dense-node blocks go numpy -> Arrow directly (no pandas hop)."""
     plans = [p for p in plan_blobs(path) if p["blob_type"] == "OSMData"]
     if not plans:
         raise ValueError(f"no OSMData blobs in {path}")
@@ -454,18 +510,16 @@ def read_pbf_entities(spark: SparkSession, path: str) -> DataFrame:
     n_parts = min(len(plans), spark.sparkContext.defaultParallelism)
     desc = desc.repartition(n_parts)
 
-    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            for _, row in pdf.iterrows():  # rows here are BLOBS, not entities
+    def decode(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            for row in batch.to_pylist():  # rows here are BLOBS, not entities
                 with open(row["path"], "rb") as f:
                     f.seek(int(row["offset"]))
                     data = f.read(int(row["datasize"]))
                 recs = decode_primitive_block(_blob_payload(data))
-                out = _records_to_pdf(recs)
-                if len(out):
-                    yield out
+                yield from _records_to_batches(recs)
 
-    return desc.mapInPandas(decode, _ENTITY_DDL)
+    return desc.mapInArrow(decode, _ENTITY_DDL)
 
 
 def read_pbf(

@@ -159,3 +159,52 @@ def test_file_type_dispatch(spark, golden_pbf, tmp_path):
     assert _rows(pn) == _rows(xn)
     with pytest.raises(ValueError):
         read_osm_file(spark, "/nope/file.txt")
+
+
+def test_varint_roundtrip_property():
+    """Property-based: any uint64 list survives encode->numpy-decode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=50))
+    def check(vals):
+        data = b"".join(W.vu(v) for v in vals)
+        got = pbf.decode_varints(data)
+        assert [int(x) for x in got] == vals
+
+    check()
+
+
+def test_zigzag_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                    max_size=50))
+    def check(vals):
+        data = b"".join(W.sv(v) for v in vals)
+        got = pbf.decode_packed_sint64(data)
+        assert [int(x) for x in got] == vals
+
+    check()
+
+
+def test_malformed_inputs_raise():
+    # unsupported wire type 3 (group start) must raise, not misparse
+    with pytest.raises(ValueError):
+        list(pbf.iter_fields(W.key(1, 3) + b"\x00"))
+    # blob with neither raw nor zlib payload
+    with pytest.raises(ValueError):
+        pbf._blob_payload(W.varf(2, 10))
+    # truncated file: planning stops cleanly at the partial header
+    import io, tempfile, os as _os
+    with tempfile.NamedTemporaryFile(delete=False, suffix=".pbf") as f:
+        f.write(W.header_blob()[: 7])  # cut inside the header
+        path = f.name
+    try:
+        with pytest.raises(Exception):
+            pbf.plan_blobs(path)
+    finally:
+        _os.unlink(path)
