@@ -63,6 +63,8 @@ HEADLINE = [
     "media_frames",
     "hash_split",
     "stratified_sample",
+    "event_percentiles",
+    "cumulative_daily_events",
     "topk_dense_cells",
     "rolling_fingerprint",
     "winnow_sketch",

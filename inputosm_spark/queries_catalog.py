@@ -1708,6 +1708,68 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(round(value, 2), 0.5), 4) AS p50,
+           round(quantile_cont(round(value, 2), 0.9), 4) AS p90,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (A2-A4 extension):
+    Spark `percentile` and DuckDB `quantile_cont` share the continuous
+    rank-interpolation definition, so exact values replay; inputs are
+    pre-rounded so the interpolation arithmetic starts from identical
+    doubles in both engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 2).alias("v")
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("v", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("v", F.lit(0.9)), 4).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "cumulative_daily_events",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n,
+           CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day)
+                AS BIGINT) AS cum_n,
+           CAST(n - coalesce(lag(n) OVER (PARTITION BY event_type
+                                          ORDER BY day), 0) AS BIGINT)
+             AS delta
+    FROM daily
+    """,
+)
+def q_cumulative_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-window analytics: daily counts per type with a
+    cumulative sum and day-over-day delta (lag) — the unbounded-
+    preceding window frame and lag() surface."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type", "day", "n",
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+        (F.col("n") - F.coalesce(F.lag("n").over(w), F.lit(0)))
+        .cast("long").alias("delta"),
+    )
+
+
+@register(
     "hash_split",
     oracle="""
     SELECT doc_id,
