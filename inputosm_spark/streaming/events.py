@@ -264,6 +264,87 @@ def run_sessionize_stream(events: DataFrame, checkpoint_path: str, out_path: str
 
 
 # ---------------------------------------------------------------------------
+# custom stateful operator: streaming exact dedup (keep-first)
+# ---------------------------------------------------------------------------
+
+DEDUP_STATE_DDL = "first_ts timestamp, n_dups long"
+DEDUP_OUT_DDL = "fingerprint string, event_id long, user_id long, ts timestamp"
+
+
+def stream_exact_dedup(events: DataFrame, key_col: str = "fingerprint",
+                       ttl_s: int = 7200):
+    """Streaming keep-first exact dedup — the training-data pipeline's
+    dedup ladder (operators/dedup.exact_dups) lifted to a stream: the
+    FIRST row per fingerprint is emitted, every later duplicate is
+    dropped while its fingerprint is in state. State per key is two
+    scalars and expires `ttl_s` past the watermark (bounded state:
+    at 100 TB/day the table holds one window of fingerprints, not the
+    full history — the standard at-scale trade: duplicates separated
+    by more than the TTL pass through and are caught by the batch
+    dedup downstream).
+
+    applyInPandasWithState because no built-in operator expresses
+    "emit first, swallow the rest, forget after TTL": dropDuplicates
+    on a stream keeps state forever (OOM at scale) and
+    dropDuplicatesWithinWatermark has no keep-FIRST ordering guarantee
+    within a micro-batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        if state.exists:
+            first_ts, n = state.get
+            n += len(rows)
+            state.update((first_ts, n))
+        else:
+            head = rows.iloc[0]
+            state.update((head["ts"].to_pydatetime(), int(len(rows))))
+            yield pd.DataFrame(
+                {
+                    "fingerprint": [key[0]],
+                    "event_id": [int(head["event_id"])],
+                    "user_id": [int(head["user_id"])],
+                    "ts": [head["ts"]],
+                }
+            )
+        last_ts = rows["ts"].max().to_pydatetime()
+        state.setTimeoutTimestamp(int(last_ts.timestamp() * 1000) + ttl_s * 1000)
+
+    return (
+        events.withWatermark("ts", f"{ttl_s} seconds")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=DEDUP_OUT_DDL,
+            stateStructType=DEDUP_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_dedup_stream(events: DataFrame, checkpoint_path: str, out_path: str):
+    """Drain the streaming dedup to parquet (availableNow)."""
+    q = (
+        stream_exact_dedup(events)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+# ---------------------------------------------------------------------------
 # streaming spatial rollup: hot-cell monitor
 # ---------------------------------------------------------------------------
 

@@ -219,3 +219,30 @@ def test_sessionize_late_event_does_not_shrink_session(spark, tmp_path):
     # the buggy version set last = 1500 (the late event), shrinking the end
     assert sess.sess_end == (base + pd.Timedelta(seconds=2000)).to_pydatetime()
     assert sess.n_events == 3
+
+
+def test_streaming_exact_dedup_matches_batch_keep_first(spark, sf_dir, tmp_path):
+    """Streaming keep-first dedup: one row per fingerprint, the
+    (ts, event_id)-minimal one — equal to the batch window twin for a
+    single micro-batch (cross-batch keep-first is TTL-scoped by
+    design)."""
+    fp = F.md5(F.pmod("user_id", F.lit(50)).cast("string"))
+    src = stream_ops.read_event_stream(
+        spark, _events_dir(sf_dir, tmp_path)
+    ).withColumn("fingerprint", fp)
+    out = str(tmp_path / "dedup_out")
+    stream_ops.run_dedup_stream(src, str(tmp_path / "dedup_ckpt"), out)
+    got = spark.read.parquet(out)
+
+    ev = spark.read.parquet(_events_path(sf_dir)).withColumn("fingerprint", fp)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy("ts", "event_id")
+    expected = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select("fingerprint", "event_id", "user_id", "ts")
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got).isEmpty()
