@@ -116,6 +116,39 @@ class StageMetrics:
         self.to_table(spark).write.mode("append").parquet(location)
 
 
+# --- time utilities (reference src/timeutil.cpp) ------------------------------
+
+
+def now_ms() -> int:
+    """Epoch milliseconds (timeutil.cpp:19-23; F7)."""
+    return time.time_ns() // 1_000_000
+
+
+def now_us() -> int:
+    """Epoch microseconds (timeutil.cpp:25-29; F7)."""
+    return time.time_ns() // 1_000
+
+
+def duration_to_str(nanos: int) -> str:
+    """Human duration, unit-escalating exactly like the reference
+    (timeutil.cpp:59-90; F6): ns -> μs -> ms -> s -> 'H hours M minutes
+    S seconds'."""
+    if nanos < 1_000:
+        return f"{nanos} ns"
+    if nanos < 1_000_000:
+        return f"{nanos / 1_000.0:.3f} μs"
+    if nanos < 1_000_000_000:
+        return f"{nanos / 1_000_000.0:.3f} ms"
+    if nanos < 60_000_000_000:
+        return f"{nanos / 1_000_000_000.0:.3f} s"
+    seconds = nanos // 1_000_000_000
+    minutes, seconds = divmod(seconds, 60)
+    hours, minutes = divmod(minutes, 60)
+    if hours > 0:
+        return f"{hours} hours {minutes} minutes {seconds} seconds"
+    return f"{minutes} minutes {seconds} seconds"
+
+
 def timed_stage(name: str) -> "_Timer":
     """Context manager that logs a duration line through the callback —
     the reference's `k_timer` pretty-print (timeutil.cpp) analog."""
@@ -132,5 +165,5 @@ class _Timer:
 
     def __exit__(self, *exc):
         dt = time.monotonic() - self.t0
-        log("info", f"{self.name}: {dt:.3f}s")
+        log("info", f"{self.name}: {duration_to_str(int(dt * 1e9))}")
         return False

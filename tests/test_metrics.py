@@ -50,3 +50,21 @@ def test_two_stage_metrics_rows(spark, sf_dir, tmp_path):
     assert tbl.schema.simpleString().startswith(
         "struct<run_id:string,stage:string,metric:string,value:double>"
     )
+
+
+def test_duration_to_str_reference_format():
+    """Unit escalation matches timeutil.cpp:59-90 exactly."""
+    assert metrics.duration_to_str(999) == "999 ns"
+    assert metrics.duration_to_str(1_500) == "1.500 μs"
+    assert metrics.duration_to_str(2_345_000) == "2.345 ms"
+    assert metrics.duration_to_str(3_456_000_000) == "3.456 s"
+    assert metrics.duration_to_str(62_000_000_000) == "1 minutes 2 seconds"
+    assert metrics.duration_to_str(3_725_000_000_000) == (
+        "1 hours 2 minutes 5 seconds"
+    )
+
+
+def test_now_helpers_monotonic_scale():
+    ms, us = metrics.now_ms(), metrics.now_us()
+    assert abs(us // 1000 - ms) <= 2          # same clock, right units
+    assert ms > 1_600_000_000_000             # epoch milliseconds
