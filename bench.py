@@ -65,6 +65,8 @@ HEADLINE = [
     "stratified_sample",
     "event_percentiles",
     "cumulative_daily_events",
+    "asof_user_state",
+    "interval_join_windows",
     "topk_dense_cells",
     "rolling_fingerprint",
     "winnow_sketch",

@@ -1708,6 +1708,92 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_user_state",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    states AS (
+      SELECT user_id, ts, max(round(value, 2)) AS state_value
+      FROM events WHERE event_type IN ('signup', 'purchase')
+      GROUP BY 1, 2
+    )
+    SELECT c.user_id, c.event_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts, s.state_value
+    FROM clicks c ASOF LEFT JOIN states s
+      ON c.user_id = s.user_id AND c.ts >= s.ts
+    """,
+)
+def q_asof_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: every click gets the user's most recent prior
+    signup/purchase value. Implemented as union + carry-forward (ONE
+    window shuffle, no inequality join — operators/temporal.asof_join);
+    the oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, an independent
+    implementation of the same semantics."""
+    from inputosm_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    states = (
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.round("value", 2)).alias("state_value"))
+    )
+    out = temporal.asof_join(clicks, states, key="user_id",
+                             value_cols=["state_value"])
+    return out.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "state_value",
+    )
+
+
+@register(
+    "interval_join_windows",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    ivals AS (
+      SELECT g.g AS grp, d + INTERVAL 2 HOUR AS start_ts,
+             d + INTERVAL 5 HOUR AS end_ts
+      FROM days, unnest(range(0, 10)) AS g(g)
+    )
+    SELECT e.event_id, CAST(e.user_id % 10 AS BIGINT) AS grp,
+           strftime(i.start_ts, '%Y-%m-%d %H:%M:%S') AS win_start
+    FROM events e JOIN ivals i
+      ON e.user_id % 10 = i.grp
+     AND e.ts >= i.start_ts AND e.ts < i.end_ts
+    """,
+)
+def q_interval_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events matched to [start, end) windows of
+    their group via time-grid bucketing + equi-join (the 1-D twin of
+    pip_join's cell bucketing — never an inequality join at scale)."""
+    from inputosm_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id", "ts", F.pmod("user_id", F.lit(10)).cast("long").alias("grp")
+    )
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    ivals = days.crossJoin(
+        spark.range(10).select(F.col("id").alias("grp"))
+    ).select(
+        "grp",
+        (F.col("d").cast("timestamp") + F.expr("INTERVAL 2 HOURS"))
+        .alias("start_ts"),
+        (F.col("d").cast("timestamp") + F.expr("INTERVAL 5 HOURS"))
+        .alias("end_ts"),
+    )
+    out = temporal.interval_join(pts, ivals, key="grp", bucket_s=3600)
+    return out.select(
+        "event_id", "grp",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+    )
+
+
+@register(
     "event_percentiles",
     oracle="""
     SELECT event_type,
