@@ -67,6 +67,7 @@ HEADLINE = [
     "cumulative_daily_events",
     "asof_user_state",
     "interval_join_windows",
+    "dedup_clusters",
     "topk_dense_cells",
     "rolling_fingerprint",
     "winnow_sketch",

@@ -646,6 +646,69 @@ def q_lsh_candidate_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id,
+             min(substr(md5('0|' || shingle), 1, 8)) AS sig_0,
+             min(substr(md5('0|' || shingle), 9, 8)) AS sig_1,
+             min(substr(md5('0|' || shingle), 17, 8)) AS sig_2,
+             min(substr(md5('0|' || shingle), 25, 8)) AS sig_3
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS band_val FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, sig_2 || '|' || sig_3 AS band_val FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS a,
+                      CAST(b.doc_id AS BIGINT) AS b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach AS (
+      SELECT node, node AS lab FROM (SELECT DISTINCT a AS node FROM sym)
+      UNION
+      SELECT s.b AS node, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: LSH candidate pairs -> connected components
+    (iterative min-label propagation, localCheckpoint-severed) ->
+    every document labeled with min(doc_id) of its duplicate group
+    (singletons label themselves). The keep-one-per-group decision at
+    the end of the dedup ladder. Oracle: recursive-CTE transitive
+    closure — an independent fixpoint formulation of the same graph."""
+    from inputosm_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    sigs = dedup.minhash_signatures(dedup.word_shingles(docs, n=3), n_hashes=4)
+    cand = dedup.lsh_candidate_pairs(sigs, n_bands=2, rows_per_band=2)
+    comp = graph.connected_components(
+        cand.select(
+            F.col("doc_a").cast("long").alias("src"),
+            F.col("doc_b").cast("long").alias("dst"),
+        )
+    )
+    all_docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return all_docs.join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+
+
 _HEXMAP_SQL = "(instr('0123456789abcdef', substr(md5(tok), CAST(bit // 4 AS INT) + 1, 1)) - 1)"
 
 
