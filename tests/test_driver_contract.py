@@ -61,3 +61,13 @@ def test_entry_returns_flagship(spark):
 def test_oracle_keys_subset_of_queries():
     m = _entry()
     assert set(m.oracle_sql()) <= set(m.queries())
+
+
+def test_rows_only_queries_are_the_documented_exceptions():
+    """Every queries() entry must carry an oracle except the explicit,
+    documented rows-only set (approximate sketches can't hash-match a
+    different engine's sketch). Growth of this set is a regression."""
+    import __spark_entry__ as m
+
+    rows_only = set(m.queries()) - set(m.oracle_sql())
+    assert rows_only == {"approx_distinct_cells"}, rows_only
