@@ -5,15 +5,16 @@ training-data decision ("keep one copy per duplicate group") needs the
 transitive closure: connected components with the canonical label
 min(doc_id in component).
 
-Algorithm: iterative min-label propagation (the simplified
-large-star/small-star shape): every vertex repeatedly takes the
-minimum label among itself and its neighbors until a fixpoint. Each
-iteration is one groupBy shuffle over the edge list; iterations are
-localCheckpoint-severed (iterative lineage otherwise grows a plan per
-round). Convergence needs at most `diameter` rounds — near-dup
-clusters are shallow (pairs share LSH buckets), so the default cap is
-generous; the loop exits early on the first stable round (checked with
-one tiny aggregate per round).
+Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public
+paper). Each operation is one groupBy + one equi-join shuffle over the
+parent-pointer edge list; the alternation contracts every component to
+a star rooted at its minimum id in O(log n) rounds (O(diameter) for
+plain min-label propagation — a 1000-node chain needs ~1000 label
+rounds but ~10 star rounds). Rounds are localCheckpoint-severed
+(iterative lineage otherwise grows a plan per round) and the loop
+exits on the first fixpoint (edge set unchanged); exhausting max_iter
+without a fixpoint RAISES — a silent exit would mislabel clusters.
 
 Deterministic end to end (min over int64 labels, no RNG), so a SQL
 engine replays it with a recursive-CTE transitive closure — the
@@ -26,53 +27,94 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: for every node u, connect each STRICTLY LARGER
+    neighbor to the minimum of u's closed neighborhood. Output edges
+    (child, parent) with child > parent."""
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient every edge high->low, then connect each node's
+    smaller-or-equal neighbors (and the node itself) to the minimum of
+    the neighborhood. Output edges (child, parent) with child > parent."""
+    d = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    reattached = d.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return (
+        reattached.unionAll(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
+    max_iter: int = 25,
 ) -> DataFrame:
     """(node, component): component = min node id reachable.
 
-    `edges` is undirected input (each pair once is fine — both
-    directions are added here). Isolated vertices don't appear (join
-    the result back to the vertex table with a coalesce-to-self for
-    singleton semantics, as dedup_clusters does).
+    `edges` is undirected input (each pair once is fine). Isolated
+    vertices don't appear (join the result back to the vertex table
+    with a coalesce-to-self for singleton semantics, as dedup_clusters
+    does). Raises RuntimeError if max_iter rounds don't reach the star
+    fixpoint (log-scale rounds make that a hard bug, never load).
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.distinct().localCheckpoint(eager=True)
-
-    labels = (
-        sym.select(F.col("a").alias("node"))
+    nodes = (
+        edges.select(F.col(src).alias("u"))
+        .unionAll(edges.select(F.col(dst).alias("u")))
         .distinct()
-        .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
     for _ in range(max_iter):
-        # neighbor minimum: every edge (a,b) offers b's label to a
-        neigh = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
-            .groupBy("a")
-            .agg(F.min("comp").alias("ncomp"))
-            .withColumnRenamed("a", "node")
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        same = (
+            new_e.count() == e.count()
+            and new_e.exceptAll(e).limit(1).count() == 0
         )
-        new_labels = (
-            labels.join(neigh, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        e = new_e
+        if same:
+            converged = True
             break
-    return labels.select("node", F.col("comp").alias("component"))
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # fixpoint edges are (child, root) stars; roots appear only as v
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        nodes.select(F.col("u").alias("node"))
+        .join(e.select(F.col("u").alias("node")), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return labels.unionAll(roots)

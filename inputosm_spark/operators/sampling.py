@@ -37,8 +37,14 @@ def hash_bucket(key, n: int = 100) -> F.Column:
 
 
 def hash_bucket_sql(key: str, n: int = 100) -> str:
-    """The DuckDB/ANSI twin of hash_bucket (oracle fragment)."""
-    return (f"CAST((((({key}) % {_P1}) * {_A} + {_B}) % {_P2}) % {n} AS INT)")
+    """The DuckDB/ANSI twin of hash_bucket (oracle fragment).
+
+    Spark's F.pmod is non-negative; ANSI % follows the dividend's sign,
+    so the first mod is wrapped pmod-style ((k % P + P) % P). After that
+    every intermediate is non-negative and plain % matches pmod.
+    """
+    nn = f"((({key}) % {_P1} + {_P1}) % {_P1})"
+    return f"CAST((({nn} * {_A} + {_B}) % {_P2}) % {n} AS INT)"
 
 
 def train_val_test_split(

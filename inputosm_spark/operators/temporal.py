@@ -118,13 +118,20 @@ def interval_join(
     p = points.withColumn(
         "__b", F.floor(_epoch(point_ts) / bucket_s).cast("long")
     )
+    # Half-open end: the last bucket an interval can reach is
+    # (ceil(end_epoch) - 1) // bucket_s IN INTEGER SECONDS — a
+    # boundary-aligned end (end % bucket == 0) must NOT replicate into
+    # the end bucket. (A double-epsilon subtraction is a no-op at epoch
+    # magnitudes: ulp(1.7e9) ~ 2.4e-7 » 1e-9.)
+    last_b = F.floor(
+        (F.ceil(_epoch(end_col)).cast("long") - F.lit(1)) / bucket_s
+    ).cast("long")
     i = intervals.withColumn(
         "__b",
         F.explode(
             F.sequence(
                 F.floor(_epoch(start_col) / bucket_s).cast("long"),
-                F.floor((_epoch(end_col) - F.lit(1e-9)) / bucket_s)
-                .cast("long"),
+                last_b,
             )
         ),
     )

@@ -157,20 +157,19 @@ def apply_changes(base: DataFrame, changes: DataFrame, key: str = "id") -> DataF
 
     The reference replays ops sequentially (inputosmxml.cpp:243-257), so
     when one change set carries several ops for the same key only the
-    LAST one survives: the changes are first reduced to one row per key
-    (highest version, then file position — `monotonically_increasing_id`
+    LAST one IN FILE ORDER survives (`monotonically_increasing_id`
     preserves the parse order of the change file), and only that row
-    decides delete-vs-upsert. A create followed by a delete removes the
-    row; a delete followed by a create keeps the new row.
+    decides delete-vs-upsert. File position alone decides — NOT version:
+    a later op carrying a lower/equal version (e.g. a revert) still wins,
+    matching the reference's sequential replay. A create followed by a
+    delete removes the row; a delete followed by a create keeps the new
+    row.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     ch = changes.withColumn("__pos", F.monotonically_increasing_id())
-    order = [F.desc("__pos")]
-    if "version" in changes.columns:
-        order = [F.desc_nulls_last("version"), F.desc("__pos")]
-    w = Window.partitionBy(key).orderBy(*order)
+    w = Window.partitionBy(key).orderBy(F.desc("__pos"))
     latest = (
         ch.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

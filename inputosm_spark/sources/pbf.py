@@ -246,7 +246,8 @@ def decode_primitive_block(payload: bytes) -> dict[str, list[dict]]:
                                                 lat_offset, lon_offset,
                                                 date_granularity))
             elif fno == 2:  # DenseNodes (columnar)
-                block = _decode_dense(val, st, raw7, date_granularity)
+                block = _decode_dense(val, st, raw7, lat_offset, lon_offset,
+                                      date_granularity)
                 if block is not None:
                     dense.append(block)
             elif fno == 3:
@@ -286,7 +287,8 @@ def _decode_plain_node(msg, st, granularity, lat_offset, lon_offset,
     }
 
 
-def _decode_dense(msg, st, raw7, date_granularity) -> dict[str, object] | None:
+def _decode_dense(msg, st, raw7, lat_offset, lon_offset,
+                  date_granularity) -> dict[str, object] | None:
     """DenseNodes -> COLUMNAR arrays (the bulk of any real planet file:
     everything stays numpy end-to-end except the per-node tag dicts)."""
     ids = lats = lons = versions = timestamps = changesets = None
@@ -303,9 +305,9 @@ def _decode_dense(msg, st, raw7, date_granularity) -> dict[str, object] | None:
                 elif ifno == 3:
                     changesets = decode_packed_sint64(bytes(ival), delta=True)
         elif fno == 8:
-            lats = raw7(decode_packed_sint64(bytes(val), delta=True), 0)
+            lats = raw7(decode_packed_sint64(bytes(val), delta=True), lat_offset)
         elif fno == 9:
-            lons = raw7(decode_packed_sint64(bytes(val), delta=True), 0)
+            lons = raw7(decode_packed_sint64(bytes(val), delta=True), lon_offset)
         elif fno == 10:
             keys_vals = decode_packed_uint(bytes(val))
     if ids is None:

@@ -129,12 +129,26 @@ def relation_group(st: StringTable, r: dict) -> bytes:
     return lenf(4, msg)  # PrimitiveGroup.relations
 
 
-def primitive_block(groups_builder) -> bytes:
-    """groups_builder(st) -> list of encoded PrimitiveGroup bytes."""
+def primitive_block(
+    groups_builder,
+    granularity: int = 100,
+    lat_offset: int = 0,
+    lon_offset: int = 0,
+    date_granularity: int = 1000,
+) -> bytes:
+    """groups_builder(st) -> list of encoded PrimitiveGroup bytes.
+
+    With nonzero offsets/non-default granularity, node coordinate values
+    passed to the group builders are PBF UNITS for that block: decoders
+    must reconstruct nanodegrees as offset + granularity * unit."""
     st = StringTable()
     groups = groups_builder(st)
     body = lenf(1, st.encode()) + b"".join(lenf(2, g) for g in groups)
-    body += varf(17, 100) + varf(18, 1000)  # granularity + date_granularity
+    body += varf(17, granularity) + varf(18, date_granularity)
+    if lat_offset:
+        body += varf(19, lat_offset)
+    if lon_offset:
+        body += varf(20, lon_offset)
     return body
 
 

@@ -29,3 +29,25 @@ def test_components_long_path_converges(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.component for r in graph.connected_components(df).collect()}
     assert set(got.values()) == {100} and len(got) == 16
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    """A 1000-node chain has diameter 999 — min-label propagation would
+    need ~999 rounds; the large-star/small-star alternation must finish
+    in O(log n): max_iter=12 would RAISE if it didn't."""
+    edges = [(i, i + 1) for i in range(1000)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component
+           for r in graph.connected_components(df, max_iter=12).collect()}
+    assert set(got.values()) == {0} and len(got) == 1001
+
+
+def test_nonconvergence_raises(spark):
+    """Exhausting max_iter without a fixpoint is an error, not a silent
+    wrong answer."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(df, max_iter=1)

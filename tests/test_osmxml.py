@@ -153,9 +153,11 @@ def test_apply_changes_merge_semantics(spark, tmp_path):
 
 def test_apply_changes_multiple_ops_same_key(spark):
     """Sequential-replay semantics when one change set carries several
-    ops for one key (inputosmxml.cpp:243-257): only the LAST op (by
-    version, then file order) decides — create+modify must not leave
-    duplicate rows, and a delete followed by a create keeps the row."""
+    ops for one key (inputosmxml.cpp:243-257): only the LAST op IN FILE
+    ORDER decides — create+modify must not leave duplicate rows, a
+    delete followed by a create keeps the row, and a later op with a
+    LOWER version (a revert) still wins, exactly as a sequential replay
+    of the file would behave."""
     base = spark.createDataFrame(
         [(1, 1, "keep"), (2, 1, "gone")], "id long, version int, tags string"
     )
@@ -170,10 +172,14 @@ def test_apply_changes_multiple_ops_same_key(spark):
             # key 4: create v1 then modify v2 -> ONE row, the v2 state
             (4, 1, "draft", "create"),
             (4, 2, "final", "modify"),
+            # key 5: REVERT — later file position, lower version, wins
+            (5, 3, "newer", "create"),
+            (5, 1, "revert", "modify"),
         ],
         "id long, version int, tags string, op string",
     )
     got = {r.id: r for r in osmxml.apply_changes(base, ch).collect()}
-    assert set(got) == {1, 3, 4}  # 2 deleted, no duplicates anywhere
+    assert set(got) == {1, 3, 4, 5}  # 2 deleted, no duplicates anywhere
     assert got[3].tags == "born" and got[3].version == 2
     assert got[4].tags == "final" and got[4].version == 2
+    assert got[5].tags == "revert" and got[5].version == 1

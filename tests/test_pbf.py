@@ -150,6 +150,28 @@ def test_read_pbf_many_blobs_partitioning(spark, tmp_path):
     assert got == sorted(100 * b + i for b in range(8) for i in range(5))
 
 
+def test_nonzero_granularity_and_offsets_applied(spark, tmp_path):
+    """Spec-valid blocks may carry lat_offset/lon_offset + non-default
+    granularity; BOTH node decode paths (dense + plain) must apply them:
+    nanodeg = offset + granularity * unit (osmformat spec). Regression
+    for the dense path silently passing offset 0."""
+    nd = dict(id=1, raw_lat=5_252_000, raw_lon=1_340_500, tags={},
+              version=1, ts_s=1_600_000_000, changeset=1)  # PBF UNITS
+    pn = dict(id=2, raw_lat=4_885_660, raw_lon=235_220, tags={},
+              version=1, ts_s=1_600_000_000, changeset=2)
+    block = W.primitive_block(
+        lambda st: [W.dense_group(st, [nd]), W.plain_node_group(st, pn)],
+        granularity=1000, lat_offset=500, lon_offset=700,
+    )
+    path = W.write_pbf(str(tmp_path / "off.osm.pbf"), [block])
+    nodes, _, _ = pbf.read_pbf(spark, path)
+    rows = {r.id: r for r in nodes.collect()}
+    assert rows[1].raw_lat == (500 + 1000 * 5_252_000) // 100  # dense
+    assert rows[1].raw_lon == (700 + 1000 * 1_340_500) // 100
+    assert rows[2].raw_lat == (500 + 1000 * 4_885_660) // 100  # plain
+    assert rows[2].raw_lon == (700 + 1000 * 235_220) // 100
+
+
 def test_file_type_dispatch(spark, golden_pbf, tmp_path):
     """S1: extension dispatch routes .pbf and .osm to the right reader."""
     from inputosm_spark.sources.registry import read_osm_file
