@@ -84,7 +84,9 @@ class SnapshotStore:
             i += 1
         return i
 
-    def _commit(self, df: DataFrame, op: str) -> int:
+    def _commit(
+        self, df: DataFrame, op: str, properties: dict | None = None
+    ) -> int:
         snap_id = self._next_id()
         snap_dir = os.path.join(self.root, f"snap-{snap_id}")
         data_dir = os.path.join(snap_dir, "data")
@@ -95,22 +97,36 @@ class SnapshotStore:
             dirs = self._manifest(parent)["data_dirs"] + [data_dir]
         else:
             dirs = [data_dir]
+        # table properties carry forward commit-over-commit (Iceberg
+        # table-properties semantics); a commit's `properties` dict
+        # overlays the parent's
+        props = dict(self._manifest(parent).get("properties") or {}) \
+            if parent is not None else {}
+        props.update(properties or {})
         manifest = {
             "id": snap_id,
             "parent": parent,
             "op": op,
             "data_dirs": dirs,
+            "properties": props,
         }
         with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
             json.dump(manifest, f)                     # 2. manifest
         self._set_current(snap_id)                     # 3. atomic publish
         return snap_id
 
-    def append(self, df: DataFrame) -> int:
-        return self._commit(df, "append")
+    def append(self, df: DataFrame, properties: dict | None = None) -> int:
+        return self._commit(df, "append", properties)
 
-    def overwrite(self, df: DataFrame) -> int:
-        return self._commit(df, "overwrite")
+    def overwrite(self, df: DataFrame, properties: dict | None = None) -> int:
+        return self._commit(df, "overwrite", properties)
+
+    def properties(self, snapshot_id: int | None = None) -> dict:
+        """Table properties at a snapshot (current by default)."""
+        snap = self.current_id() if snapshot_id is None else snapshot_id
+        if snap is None:
+            return {}
+        return self._manifest(snap).get("properties") or {}
 
     # -- reads --------------------------------------------------------------
 

@@ -592,6 +592,79 @@ def _decode_rel_block(msgs: list, st, date_granularity) -> dict | None:
     }
 
 
+# --- OSMHeader blob (S12) ------------------------------------------------------
+
+# Features this decoder implements; a file REQUIRING anything else must
+# be refused, not half-read (reference read_header_block,
+# /root/reference/src/inputosmpbf.cpp:762-841; feature semantics from
+# the public OSM PBF spec).
+SUPPORTED_FEATURES = frozenset({"OsmSchema-V0.6", "DenseNodes"})
+
+_BBOX_FIELDS = {1: "left", 2: "right", 3: "top", 4: "bottom"}
+
+
+def _unzig1(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def read_header(path: str) -> dict:
+    """Decode the OSMHeader blob: bbox (nanodegrees), required/optional
+    features, writing program, source, and the osmosis replication
+    timestamp/sequence/base-url — the catch-up coordinates an OSC
+    consumer needs (see sources/replication.py). Returns a dict with
+    None/[] defaults when the file has no header blob."""
+    out = {
+        "bbox": None,
+        "required_features": [],
+        "optional_features": [],
+        "writing_program": None,
+        "source": None,
+        "replication_timestamp": None,
+        "replication_sequence": None,
+        "replication_base_url": None,
+    }
+    plans = [p for p in plan_blobs(path) if p["blob_type"] == "OSMHeader"]
+    if not plans:
+        return out
+    p = plans[0]
+    with open(path, "rb") as f:
+        f.seek(p["offset"])
+        data = f.read(p["datasize"])
+    for fno, _, val in iter_fields(_blob_payload(data)):
+        if fno == 1:  # HeaderBBox (sint64 nanodegrees)
+            out["bbox"] = {
+                _BBOX_FIELDS[bf]: _unzig1(bv)
+                for bf, _, bv in iter_fields(val)
+                if bf in _BBOX_FIELDS
+            }
+        elif fno == 4:
+            out["required_features"].append(bytes(val).decode("utf-8"))
+        elif fno == 5:
+            out["optional_features"].append(bytes(val).decode("utf-8"))
+        elif fno == 16:
+            out["writing_program"] = bytes(val).decode("utf-8")
+        elif fno == 17:
+            out["source"] = bytes(val).decode("utf-8")
+        elif fno == 32:
+            out["replication_timestamp"] = int(val)
+        elif fno == 33:
+            out["replication_sequence"] = int(val)
+        elif fno == 34:
+            out["replication_base_url"] = bytes(val).decode("utf-8")
+    return out
+
+
+def validate_header(header: dict) -> None:
+    """Refuse files whose required_features this decoder does not
+    implement (the reference fails hard on unknown required features)."""
+    unsupported = set(header["required_features"]) - SUPPORTED_FEATURES
+    if unsupported:
+        raise ValueError(
+            f"unsupported required_features: {sorted(unsupported)} "
+            f"(supported: {sorted(SUPPORTED_FEATURES)})"
+        )
+
+
 # --- Spark surface -------------------------------------------------------------
 
 _ENTITY_DDL = (
@@ -758,8 +831,12 @@ def read_pbf_entities(spark: SparkSession, path: str) -> DataFrame:
     """All entities of a .osm.pbf as one DataFrame (kind-discriminated
     superset schema). One Spark task decodes one blob — the reference's
     work-queue granularity (inputosmpbf.cpp:1028-1056). mapInArrow:
-    dense-node blocks go numpy -> Arrow directly (no pandas hop)."""
-    plans = [p for p in plan_blobs(path) if p["blob_type"] == "OSMData"]
+    dense-node blocks go numpy -> Arrow directly (no pandas hop).
+    Validates the header's required_features first (S12)."""
+    all_plans = plan_blobs(path)
+    if any(p["blob_type"] == "OSMHeader" for p in all_plans):
+        validate_header(read_header(path))
+    plans = [p for p in all_plans if p["blob_type"] == "OSMData"]
     if not plans:
         raise ValueError(f"no OSMData blobs in {path}")
     desc = spark.createDataFrame(

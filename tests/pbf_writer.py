@@ -159,14 +159,43 @@ def blob(payload: bytes, btype: str) -> bytes:
     return len(hdr).to_bytes(4, "big") + hdr + b
 
 
-def header_blob() -> bytes:
-    hb = lenf(4, b"OsmSchema-V0.6") + lenf(4, b"DenseNodes")
+def header_blob(
+    bbox: tuple[int, int, int, int] | None = None,
+    required: tuple[str, ...] = ("OsmSchema-V0.6", "DenseNodes"),
+    optional: tuple[str, ...] = (),
+    writing_program: str | None = None,
+    source: str | None = None,
+    rep_ts: int | None = None,
+    rep_seq: int | None = None,
+    rep_url: str | None = None,
+) -> bytes:
+    """OSMHeader blob; bbox = (left, right, top, bottom) nanodegrees."""
+    hb = b""
+    if bbox is not None:
+        bb = (key(1, 0) + sv(bbox[0]) + key(2, 0) + sv(bbox[1])
+              + key(3, 0) + sv(bbox[2]) + key(4, 0) + sv(bbox[3]))
+        hb += lenf(1, bb)
+    for r in required:
+        hb += lenf(4, r.encode("utf-8"))
+    for o in optional:
+        hb += lenf(5, o.encode("utf-8"))
+    if writing_program:
+        hb += lenf(16, writing_program.encode("utf-8"))
+    if source:
+        hb += lenf(17, source.encode("utf-8"))
+    if rep_ts is not None:
+        hb += varf(32, rep_ts)
+    if rep_seq is not None:
+        hb += varf(33, rep_seq)
+    if rep_url:
+        hb += lenf(34, rep_url.encode("utf-8"))
     return blob(hb, "OSMHeader")
 
 
-def write_pbf(path: str, data_blocks: list[bytes]) -> str:
+def write_pbf(path: str, data_blocks: list[bytes],
+              header: bytes | None = None) -> str:
     with open(path, "wb") as f:
-        f.write(header_blob())
+        f.write(header_blob() if header is None else header)
         for body in data_blocks:
             f.write(blob(body, "OSMData"))
     return path

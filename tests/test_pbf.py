@@ -183,6 +183,65 @@ def test_file_type_dispatch(spark, golden_pbf, tmp_path):
         read_osm_file(spark, "/nope/file.txt")
 
 
+def test_read_header_fields(tmp_path):
+    """S12: bbox, features, writing program, replication coordinates
+    all decode from the OSMHeader blob
+    (reference read_header_block, inputosmpbf.cpp:762-841)."""
+    hdr = W.header_blob(
+        bbox=(-1_000_000_000, 2_000_000_000, 500_000_000, -600_000_000),
+        optional=("Sort.Type_then_ID",),
+        writing_program="inputosm_spark-test",
+        source="unit-test",
+        rep_ts=1_650_000_000,
+        rep_seq=4242,
+        rep_url="https://example.org/replication/minute",
+    )
+    block = W.primitive_block(
+        lambda st: [W.dense_group(st, [dict(
+            id=1, raw_lat=0, raw_lon=0, tags={}, version=1,
+            ts_s=1_600_000_000, changeset=1)])]
+    )
+    path = W.write_pbf(str(tmp_path / "h.osm.pbf"), [block], header=hdr)
+    h = pbf.read_header(path)
+    assert h["bbox"] == {"left": -1_000_000_000, "right": 2_000_000_000,
+                         "top": 500_000_000, "bottom": -600_000_000}
+    assert h["required_features"] == ["OsmSchema-V0.6", "DenseNodes"]
+    assert h["optional_features"] == ["Sort.Type_then_ID"]
+    assert h["writing_program"] == "inputosm_spark-test"
+    assert h["source"] == "unit-test"
+    assert h["replication_timestamp"] == 1_650_000_000
+    assert h["replication_sequence"] == 4242
+    assert h["replication_base_url"] == "https://example.org/replication/minute"
+
+
+def test_unsupported_required_feature_refused(spark, tmp_path):
+    """A file REQUIRING a feature this decoder doesn't implement must
+    be refused up front, not half-read (reference semantics)."""
+    hdr = W.header_blob(required=("OsmSchema-V0.6", "HistoricalInformation"))
+    block = W.primitive_block(
+        lambda st: [W.dense_group(st, [dict(
+            id=1, raw_lat=0, raw_lon=0, tags={}, version=1,
+            ts_s=1_600_000_000, changeset=1)])]
+    )
+    path = W.write_pbf(str(tmp_path / "bad.osm.pbf"), [block], header=hdr)
+    with pytest.raises(ValueError, match="HistoricalInformation"):
+        pbf.read_pbf_entities(spark, path)
+
+
+def test_headerless_file_reads_fine(spark, tmp_path):
+    """No OSMHeader blob -> empty header dict, data still decodes."""
+    block = W.primitive_block(
+        lambda st: [W.dense_group(st, [dict(
+            id=7, raw_lat=5, raw_lon=6, tags={}, version=1,
+            ts_s=1_600_000_000, changeset=1)])]
+    )
+    path = str(tmp_path / "nohdr.osm.pbf")
+    with open(path, "wb") as f:
+        f.write(W.blob(block, "OSMData"))
+    assert pbf.read_header(path)["replication_sequence"] is None
+    assert pbf.read_pbf_entities(spark, path).count() == 1
+
+
 def test_varint_roundtrip_property():
     """Property-based: any uint64 list survives encode->numpy-decode."""
     from hypothesis import given, settings
