@@ -66,6 +66,9 @@ HEADLINE = [
     "event_percentiles",
     "cumulative_daily_events",
     "asof_user_state",
+    "asof_user_state_fwd",
+    "asof_user_state_nearest",
+    "sql_cell_rollup",
     "interval_join_windows",
     "dedup_clusters",
     "topk_dense_cells",

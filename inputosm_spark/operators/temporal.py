@@ -32,16 +32,33 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     tolerance_s: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gets the value columns of the
-    LATEST right row with right.ts <= left.ts for the same key (ties at
-    equal ts: the state is visible to the probe — DuckDB `ASOF JOIN ...
-    ON l.ts >= r.ts` semantics, which the oracle replays natively).
+    """As-of join: each left row gets the value columns of the matching
+    right row for the same key, where "matching" depends on direction:
+
+    * ``backward`` (default): LATEST right.ts <= left.ts (DuckDB
+      `ASOF JOIN ... ON l.ts >= r.ts` semantics — a state at exactly
+      the probe's timestamp is visible).
+    * ``forward``: EARLIEST right.ts >= left.ts (the "next reading
+      after the event"; equal-ts state visible symmetrically).
+    * ``nearest``: whichever of the two is closer in |Δts|; exact ties
+      resolve to the BACKWARD (earlier) state.
+
+    All three are the same union + ONE-window-pass shape — never an
+    inequality join: backward carries state forward
+    (`last(..., ignorenulls)` over an unbounded-preceding frame),
+    forward carries it backward (`first(...)` over an
+    unbounded-following frame of the same ascending sort), nearest
+    computes both and picks per row. Cost: one shuffle of (keys, ts).
 
     Right rows must be unique per (key, right_ts) — pre-aggregate
     otherwise (an as-of against a multi-valued instant is undefined).
-    `tolerance_s` drops matches older than the window (left keeps NULL).
+    `tolerance_s` drops matches farther than the window (left keeps
+    NULL).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
@@ -62,34 +79,66 @@ def asof_join(
         ).alias("__left"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
-    # state rows sort BEFORE probe rows at equal ts (desc on the tag),
-    # so a probe at exactly the state's timestamp sees it (>= semantics)
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__ts", F.desc("__is_state"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = [
-        F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-        for c in value_cols
-    ]
     state_ts = F.when(F.col("__is_state") == 1, F.col("__ts"))
-    carried_ts = F.last(state_ts, ignorenulls=True).over(w).alias("__c_ts")
-    both = l_tag.unionByName(r_tag).select("*", *carried, carried_ts)
-    probes = both.filter(F.col("__is_state") == 0)
-    if tolerance_s is not None:
-        in_tol = (
-            F.col("__ts").cast("timestamp").cast("double")
-            - F.col("__c_ts").cast("timestamp").cast("double")
-        ) <= F.lit(float(tolerance_s))
-        probes = probes.select(
-            "*",
-            *[F.when(in_tol, F.col(f"__c_{c}")).alias(f"__t_{c}")
-              for c in value_cols],
+    sel: list = [F.col("*")]
+    if direction in ("backward", "nearest"):
+        # state rows sort BEFORE probe rows at equal ts (desc on the
+        # tag), so a probe at exactly the state's timestamp sees it
+        wb = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), F.col("__is_state").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        out_vals = [F.col(f"__t_{c}").alias(c) for c in value_cols]
+        sel += [
+            F.last(f"__v_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+            for c in value_cols
+        ]
+        sel.append(F.last(state_ts, ignorenulls=True).over(wb).alias("__b_ts"))
+    if direction in ("forward", "nearest"):
+        # equal-ts states sort AFTER the probe (asc on the tag), so the
+        # current-row..following frame still sees them (>= semantics)
+        wf = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), F.col("__is_state").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        sel += [
+            F.first(f"__v_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+            for c in value_cols
+        ]
+        sel.append(
+            F.first(state_ts, ignorenulls=True).over(wf).alias("__f_ts")
+        )
+    both = l_tag.unionByName(r_tag).select(*sel)
+    probes = both.filter(F.col("__is_state") == 0)
+
+    def _d(c) -> F.Column:
+        return F.col(c).cast("timestamp").cast("double")
+
+    if direction == "backward":
+        chosen = {c: F.col(f"__b_{c}") for c in value_cols}
+        delta = _d("__ts") - _d("__b_ts")
+    elif direction == "forward":
+        chosen = {c: F.col(f"__f_{c}") for c in value_cols}
+        delta = _d("__f_ts") - _d("__ts")
     else:
-        out_vals = [F.col(f"__c_{c}").alias(c) for c in value_cols]
+        db = _d("__ts") - _d("__b_ts")
+        df_ = _d("__f_ts") - _d("__ts")
+        use_b = F.col("__b_ts").isNotNull() & (
+            F.col("__f_ts").isNull() | (db <= df_)
+        )
+        chosen = {
+            c: F.when(use_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}"))
+            for c in value_cols
+        }
+        delta = F.when(use_b, db).otherwise(df_)
+    if tolerance_s is not None:
+        in_tol = delta <= F.lit(float(tolerance_s))
+        out_vals = [
+            F.when(in_tol, chosen[c]).alias(c) for c in value_cols
+        ]
+    else:
+        out_vals = [chosen[c].alias(c) for c in value_cols]
     return probes.select(
         *[F.col("__left")[c].alias(c) for c in left.columns], *out_vals
     )

@@ -2317,3 +2317,133 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select("qid", "neighbor_id", "cos",
                       F.col("rank").cast("int").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# SQL API surface (SURVEY §2 SQL row): the flagship rollup executed
+# ENTIRELY through spark.sql over the views sqlapi.register_tables
+# creates — proves the declarative surface end-to-end (views + join +
+# higher-order span functions + rollup), not just view registration.
+# Oracle = the flagship's proven replay.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_cell_rollup",
+    oracle=f"""
+    WITH {_PER_CHUNK_SQL}
+    SELECT {_QCELL7_SQL} AS cell7, count(*) AS n_docs,
+           CAST(sum(n_spans) AS BIGINT) AS n_spans,
+           CAST(sum(text_chars) AS BIGINT) AS text_chars
+    FROM per_doc d
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_sql_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship semantics via the SQL API: documents_interleaved and
+    doc_cells temp views joined and aggregated in one spark.sql —
+    Catalyst sees the same logical plan as the DataFrame twin."""
+    from inputosm_spark import sqlapi
+
+    sqlapi.register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT c.cell7,
+               count(*) AS n_docs,
+               CAST(sum(size(d.spans)) AS BIGINT) AS n_spans,
+               CAST(sum(aggregate(
+                     transform(d.spans, s -> coalesce(length(s.text), 0)),
+                     0, (acc, x) -> acc + x)) AS BIGINT) AS text_chars
+        FROM documents_interleaved d
+        JOIN doc_cells c USING (doc_id)
+        GROUP BY c.cell7
+        ORDER BY c.cell7
+    """)
+
+
+@register(
+    "asof_user_state_fwd",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    states AS (
+      SELECT user_id, ts, max(round(value, 2)) AS state_value
+      FROM events WHERE event_type IN ('signup', 'purchase')
+      GROUP BY 1, 2
+    )
+    SELECT c.user_id, c.event_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts, s.state_value
+    FROM clicks c ASOF LEFT JOIN states s
+      ON c.user_id = s.user_id AND c.ts <= s.ts
+    """,
+)
+def q_asof_user_state_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: every click gets the user's NEXT
+    signup/purchase value (earliest state at-or-after the click) —
+    the symmetric carry-backward window of asof_join; oracle is
+    DuckDB's native forward `ASOF LEFT JOIN ... ON c.ts <= s.ts`."""
+    from inputosm_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    states = (
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.round("value", 2)).alias("state_value"))
+    )
+    out = temporal.asof_join(clicks, states, key="user_id",
+                             value_cols=["state_value"],
+                             direction="forward")
+    return out.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "state_value",
+    )
+
+
+@register(
+    "asof_user_state_nearest",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    states AS (
+      SELECT user_id, ts, max(round(value, 2)) AS state_value
+      FROM events WHERE event_type IN ('signup', 'purchase')
+      GROUP BY 1, 2
+    )
+    SELECT c.user_id, c.event_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts, s.state_value
+    FROM clicks c LEFT JOIN states s ON c.user_id = s.user_id
+    QUALIFY row_number() OVER (
+      PARTITION BY c.user_id, c.event_id
+      ORDER BY abs(epoch(c.ts) - epoch(s.ts)), s.ts
+    ) = 1
+    """,
+)
+def q_asof_user_state_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each click gets the temporally closest
+    signup/purchase value in either direction; exact ties resolve to
+    the earlier (backward) state — replayed in the oracle by ordering
+    on (|delta|, state_ts)."""
+    from inputosm_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    states = (
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.round("value", 2)).alias("state_value"))
+    )
+    out = temporal.asof_join(clicks, states, key="user_id",
+                             value_cols=["state_value"],
+                             direction="nearest")
+    return out.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "state_value",
+    )
