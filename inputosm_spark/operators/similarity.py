@@ -120,11 +120,36 @@ def _empty_pairs() -> pd.DataFrame:
 _GEMM_CHUNK_CELLS = 4_000_000  # max nq*nc materialized at once (~120 MB out)
 
 
+def _prune_margin(round_scale: int) -> float:
+    # one rounding-grid step (covers round-to-grid both ways) plus slack
+    # for the kernel's float64 cos approximation (~1e-16 relative,
+    # negligible vs the grid at any sane round_scale)
+    return 1.5 * (10.0 ** -round_scale)
+
+
 def _gemm_pairs(qpdf: pd.DataFrame, cpdf: pd.DataFrame,
-                upper_only: bool = False) -> pd.DataFrame:
-    """All (q, c) dots for one bucket via exact GEMM — chunked on the
-    query side so a degenerate giant bucket costs bounded memory per
-    step instead of one nq x nc allocation."""
+                upper_only: bool = False,
+                topk: int | None = None,
+                min_cos: float | None = None,
+                round_scale: int = 4) -> pd.DataFrame:
+    """(q, c) dots for one bucket via exact GEMM — chunked on the query
+    side so a degenerate giant bucket costs bounded memory per step
+    instead of one nq x nc allocation.
+
+    PARTIAL SELECTION (the scale lever): with `topk`, each query emits
+    only candidates whose cosine is >= (its (k+1)-th best in this
+    bucket) - margin; with `min_cos`, only candidates >= min_cos -
+    margin. Both are provably SUPERSETS of what the downstream Catalyst
+    ranking/filter keeps, so oracle hashes are unchanged: the final
+    order is (round(cos, rs) DESC, nid ASC), round is monotone, and any
+    candidate more than one grid step (10^-rs) below the k-th best
+    exact cosine rounds STRICTLY lower than the k-th best's rounded
+    value — it can never displace the k rows above it. The margin
+    (1.5 grid steps) covers the grid plus float64 error; k+1 covers the
+    potential self-match row the final ranking drops (qid != nid).
+    Non-finite cosines (zero-norm vectors) are always kept under
+    `topk` — downstream decides their fate exactly as before. Arrow
+    output drops from O(nq*nc) to O(nq*k) per bucket."""
     if len(qpdf) == 0 or len(cpdf) == 0:
         return _empty_pairs()
     C = np.stack(cpdf["iv"].to_numpy()).astype(np.float64)
@@ -132,33 +157,69 @@ def _gemm_pairs(qpdf: pd.DataFrame, cpdf: pd.DataFrame,
     nid = cpdf["nid"].to_numpy()
     cns = cpdf["ns"].to_numpy()
     step = max(1, _GEMM_CHUNK_CELLS // max(nc, 1))
+    margin = _prune_margin(round_scale)
     chunks = []
     for lo in range(0, len(qpdf), step):
         qc = qpdf.iloc[lo : lo + step]
         Q = np.stack(qc["iv"].to_numpy()).astype(np.float64)
         D = (Q @ C.T).astype(np.int64)  # exact (ints < 2^53)
         nq = len(qc)
-        out = pd.DataFrame(
-            {
-                "qid": np.repeat(qc["qid"].to_numpy(), nc),
-                "nid": np.tile(nid, nq),
-                "dot": D.ravel(),
-                "qns": np.repeat(qc["ns"].to_numpy(), nc),
-                "cns": np.tile(cns, nq),
-            }
-        )
+        qids = qc["qid"].to_numpy()
+        qns = qc["ns"].to_numpy()
+        mask = None
         if upper_only:  # canonical a < b pairs for self-joins
-            out = out[out["qid"] < out["nid"]]
+            mask = qids[:, None] < nid[None, :]
+        if topk is not None or min_cos is not None:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = D / np.sqrt(
+                    qns[:, None].astype(np.float64)
+                    * cns[None, :].astype(np.float64)
+                )
+            sel = np.ones((nq, nc), dtype=bool)
+            if min_cos is not None:
+                sel &= cos >= (min_cos - margin)
+            if topk is not None and nc > topk + 1:
+                kth = np.partition(cos, nc - topk - 1, axis=1)[
+                    :, nc - topk - 1
+                ]
+                sel &= (cos >= (kth - margin)[:, None]) | ~np.isfinite(cos)
+            mask = sel if mask is None else (mask & sel)
+        if mask is None:
+            out = pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, nc),
+                    "nid": np.tile(nid, nq),
+                    "dot": D.ravel(),
+                    "qns": np.repeat(qns, nc),
+                    "cns": np.tile(cns, nq),
+                }
+            )
+        else:
+            qi, ci = np.nonzero(mask)
+            out = pd.DataFrame(
+                {
+                    "qid": qids[qi],
+                    "nid": nid[ci],
+                    "dot": D[qi, ci],
+                    "qns": qns[qi],
+                    "cns": cns[ci],
+                }
+            )
         chunks.append(out)
     return chunks[0] if len(chunks) == 1 else pd.concat(chunks,
                                                         ignore_index=True)
 
 
 def _bucket_pair_dots(q: DataFrame, c: DataFrame, key: str,
-                      upper_only: bool = False) -> DataFrame:
+                      upper_only: bool = False,
+                      topk: int | None = None,
+                      min_cos: float | None = None,
+                      round_scale: int = 4) -> DataFrame:
     """Cogroup the prepped sides on the bucket key and GEMM each
     bucket. Output is narrow (qid, nid, dot, qns, cns) — the scale
-    contract: Arrow traffic is O(bucket members), not O(pairs x dim).
+    contract: Arrow traffic is O(bucket members), not O(pairs x dim) —
+    and with `topk`/`min_cos` the kernel emits only the provable
+    superset of the final ranking's survivors (see _gemm_pairs).
 
     At 100 TB a degenerate bucket could overflow one task's memory;
     production pairing caps bucket size upstream (see
@@ -166,7 +227,8 @@ def _bucket_pair_dots(q: DataFrame, c: DataFrame, key: str,
     """
 
     def fn(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
-        return _gemm_pairs(qpdf, cpdf, upper_only=upper_only)
+        return _gemm_pairs(qpdf, cpdf, upper_only=upper_only, topk=topk,
+                           min_cos=min_cos, round_scale=round_scale)
 
     return (
         q.groupBy(key)
@@ -223,7 +285,10 @@ def cosine_topk(
     def gen(it):
         for pdf in it:
             if len(pdf):
-                yield _gemm_pairs(qpdf, pdf)
+                # per-corpus-batch top-k per query is a superset of the
+                # global top-k — pruning stays exact across batches
+                yield _gemm_pairs(qpdf, pdf, topk=k,
+                                  round_scale=round_scale)
 
     c = _prep(corpus, "nid", id_col, vec_col)
     scored = c.mapInPandas(gen, _PAIR_SCHEMA)
@@ -261,7 +326,8 @@ def ann_lsh_topk(
     sig = _make_sig_udf(n_planes)
     q = _prep(queries, "qid").withColumn("lsh_sig", sig("iv"))
     c = _prep(corpus, "nid").withColumn("lsh_sig", sig("iv"))
-    scored = _bucket_pair_dots(q, c, "lsh_sig")
+    scored = _bucket_pair_dots(q, c, "lsh_sig", topk=k,
+                               round_scale=round_scale)
     return _rank_topk(scored, k, round_scale)
 
 
@@ -285,7 +351,8 @@ def near_dup_pairs(
     # Catalyst dedups/prunes incorrectly — and one pass is cheaper
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _gemm_pairs(pdf, pdf.rename(columns={"qid": "nid"}),
-                           upper_only=True)
+                           upper_only=True, min_cos=threshold,
+                           round_scale=round_scale)
 
     pairs = vecs.groupBy("lsh_sig").applyInPandas(fn, _PAIR_SCHEMA)
     return (
@@ -299,13 +366,19 @@ def near_dup_pairs(
 
 
 def _centroid_dots(vectors: DataFrame, centroids: DataFrame,
-                   id_out: str = "vec_id") -> DataFrame:
+                   id_out: str = "vec_id",
+                   topk: int | None = None,
+                   round_scale: int = 4) -> DataFrame:
     """(id, cid, dot, qns, cns) for every vector x centroid — the
     coarse quantizer's score matrix. Centroids are by definition tiny,
     so they are collected once into the kernel closure (broadcast) and
     the corpus streams through in Arrow batches. Ranking (rounded cos
     DESC, cid ASC) happens in Catalyst, not here, so tie-breaks match
-    the oracle bit-for-bit.
+    the oracle bit-for-bit. With `topk`, each vector emits only its
+    top-k centroids plus the rounding-margin superset (same proof as
+    _gemm_pairs; every batch sees ALL centroids, so per-batch selection
+    is globally exact) — O(n_vectors * topk) rows instead of
+    O(n_vectors * n_centroids).
     """
     crows = _prep(centroids, "cid").limit(65_537).collect()
     if not crows:
@@ -317,6 +390,7 @@ def _centroid_dots(vectors: DataFrame, centroids: DataFrame,
     C = np.array([r.iv for r in crows], dtype=np.float64)
     cids = np.array([r.cid for r in crows], dtype=np.int64)
     cns = np.array([r.ns for r in crows], dtype=np.int64)
+    margin = _prune_margin(round_scale)
 
     def gen(it):
         for pdf in it:
@@ -325,12 +399,33 @@ def _centroid_dots(vectors: DataFrame, centroids: DataFrame,
             V = np.stack(pdf["iv"].to_numpy()).astype(np.float64)
             D = (V @ C.T).astype(np.int64)  # (nv, k) exact
             nv, k = D.shape
+            qids = pdf["qid"].to_numpy()
+            qns = pdf["ns"].to_numpy()
+            if topk is not None and k > topk:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = D / np.sqrt(
+                        qns[:, None].astype(np.float64)
+                        * cns[None, :].astype(np.float64)
+                    )
+                kth = np.partition(cos, k - topk, axis=1)[:, k - topk]
+                sel = (cos >= (kth - margin)[:, None]) | ~np.isfinite(cos)
+                qi, ci = np.nonzero(sel)
+                yield pd.DataFrame(
+                    {
+                        "qid": qids[qi],
+                        "nid": cids[ci],
+                        "dot": D[qi, ci],
+                        "qns": qns[qi],
+                        "cns": cns[ci],
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 {
-                    "qid": np.repeat(pdf["qid"].to_numpy(), k),
+                    "qid": np.repeat(qids, k),
                     "nid": np.tile(cids, nv),
                     "dot": D.ravel(),
-                    "qns": np.repeat(pdf["ns"].to_numpy(), k),
+                    "qns": np.repeat(qns, k),
                     "cns": np.tile(cns, nv),
                 }
             )
@@ -348,7 +443,8 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, round_scale: int = 4) ->
     """(vec_id, cid): each vector's nearest centroid by cosine.
     Ties break on centroid id for determinism (rounded cos, same rule
     as the oracle's window)."""
-    scored = _centroid_dots(corpus, centroids, "vec_id").select(
+    scored = _centroid_dots(corpus, centroids, "vec_id", topk=1,
+                            round_scale=round_scale).select(
         "vec_id", "cid", _cos_from_pair(round_scale).alias("cos")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
@@ -385,7 +481,8 @@ def ivf_topk(
     v = _prep(corpus, "nid").cache()
 
     # corpus buckets: nearest centroid per vector (rank-1 on rounded cos)
-    cdots = _centroid_dots(corpus, centroids, "nid").select(
+    cdots = _centroid_dots(corpus, centroids, "nid", topk=1,
+                           round_scale=round_scale).select(
         "nid", "cid", _cos_from_pair(round_scale).alias("acos")
     )
     wa = Window.partitionBy("nid").orderBy(F.desc("acos"), F.asc("cid"))
@@ -397,7 +494,8 @@ def ivf_topk(
     bucketed = v.join(assign, "nid")  # (nid, iv, ns, cid)
 
     # query-side probes: top n_probe centroid buckets per query
-    qdots = _centroid_dots(queries, centroids, "qid").select(
+    qdots = _centroid_dots(queries, centroids, "qid", topk=n_probe,
+                           round_scale=round_scale).select(
         "qid", "cid", _cos_from_pair(round_scale).alias("pcos")
     )
     wp = Window.partitionBy("qid").orderBy(F.desc("pcos"), F.asc("cid"))
@@ -408,7 +506,8 @@ def ivf_topk(
     )
     q = _prep(queries, "qid").join(probes, "qid")  # (qid, iv, ns, cid)
 
-    scored = _bucket_pair_dots(q, bucketed, "cid")
+    scored = _bucket_pair_dots(q, bucketed, "cid", topk=k,
+                               round_scale=round_scale)
     return _rank_topk(scored, k, round_scale)
 
 
