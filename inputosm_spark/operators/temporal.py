@@ -33,6 +33,7 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance_s: int | None = None,
     direction: str = "backward",
+    bucket_s: int | None = None,
 ) -> DataFrame:
     """As-of join: each left row gets the value columns of the matching
     right row for the same key, where "matching" depends on direction:
@@ -56,6 +57,15 @@ def asof_join(
     otherwise (an as-of against a multi-valued instant is undefined).
     `tolerance_s` drops matches farther than the window (left keeps
     NULL).
+
+    SKEW SAFETY (`bucket_s`): the default single window per key puts a
+    hot key's entire timeline on ONE reducer. With `bucket_s` set, the
+    timeline is cut into fixed time buckets and the carry runs in two
+    passes — a window per (key, bucket), then a window over the tiny
+    one-row-per-(key, bucket) summary to hand state across bucket
+    boundaries — so a hot key parallelizes across its buckets. Results
+    are IDENTICAL (equal timestamps always share a bucket, so tie rules
+    are untouched; carry-in from earlier buckets is strictly older).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown as-of direction {direction!r}")
@@ -79,37 +89,43 @@ def asof_join(
         ).alias("__left"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
-    state_ts = F.when(F.col("__is_state") == 1, F.col("__ts"))
-    sel: list = [F.col("*")]
-    if direction in ("backward", "nearest"):
-        # state rows sort BEFORE probe rows at equal ts (desc on the
-        # tag), so a probe at exactly the state's timestamp sees it
-        wb = (
-            Window.partitionBy("__k")
-            .orderBy(F.col("__ts").asc(), F.col("__is_state").desc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        sel += [
-            F.last(f"__v_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
-            for c in value_cols
-        ]
-        sel.append(F.last(state_ts, ignorenulls=True).over(wb).alias("__b_ts"))
-    if direction in ("forward", "nearest"):
-        # equal-ts states sort AFTER the probe (asc on the tag), so the
-        # current-row..following frame still sees them (>= semantics)
-        wf = (
-            Window.partitionBy("__k")
-            .orderBy(F.col("__ts").asc(), F.col("__is_state").asc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-        sel += [
-            F.first(f"__v_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
-            for c in value_cols
-        ]
-        sel.append(
-            F.first(state_ts, ignorenulls=True).over(wf).alias("__f_ts")
-        )
-    both = l_tag.unionByName(r_tag).select(*sel)
+    union = l_tag.unionByName(r_tag)
+    if bucket_s is not None:
+        both = _bucketed_carry(union, value_cols, direction, bucket_s)
+    else:
+        state_ts = F.when(F.col("__is_state") == 1, F.col("__ts"))
+        sel: list = [F.col("*")]
+        if direction in ("backward", "nearest"):
+            # state rows sort BEFORE probe rows at equal ts (desc on the
+            # tag), so a probe at exactly the state's timestamp sees it
+            wb = (
+                Window.partitionBy("__k")
+                .orderBy(F.col("__ts").asc(), F.col("__is_state").desc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            sel += [
+                F.last(f"__v_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+                for c in value_cols
+            ]
+            sel.append(
+                F.last(state_ts, ignorenulls=True).over(wb).alias("__b_ts")
+            )
+        if direction in ("forward", "nearest"):
+            # equal-ts states sort AFTER the probe (asc on the tag), so
+            # the current-row..following frame still sees them (>=)
+            wf = (
+                Window.partitionBy("__k")
+                .orderBy(F.col("__ts").asc(), F.col("__is_state").asc())
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            sel += [
+                F.first(f"__v_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+                for c in value_cols
+            ]
+            sel.append(
+                F.first(state_ts, ignorenulls=True).over(wf).alias("__f_ts")
+            )
+        both = union.select(*sel)
     probes = both.filter(F.col("__is_state") == 0)
 
     def _d(c) -> F.Column:
@@ -142,6 +158,122 @@ def asof_join(
     return probes.select(
         *[F.col("__left")[c].alias(c) for c in left.columns], *out_vals
     )
+
+
+def _bucketed_carry(
+    union: DataFrame,
+    value_cols: list[str],
+    direction: str,
+    bucket_s: int,
+) -> DataFrame:
+    """Skew-safe twin of the single-window carry: produces the same
+    `__b_*` / `__f_*` columns, but no window ever partitions on the key
+    alone.
+
+    Pass 1 — window per (key, time-bucket): within-bucket carry with
+    the exact tie rules of the unbucketed path (equal timestamps always
+    share a bucket, so ties never straddle a boundary).
+    Pass 2 — boundary handoff: ONE summary row per (key, bucket) (a
+    map-side-combinable groupBy over every bucket that has any row),
+    the carry-in for each bucket computed by a window over that tiny
+    summary, joined back on (key, bucket) and coalesced under the
+    within-bucket value. A key with 10^9 rows costs many (key, bucket)
+    tasks plus a summary window over its bucket COUNT — never one
+    reducer holding the full timeline.
+
+    Per-column semantics match the unbucketed `last(ignorenulls)`
+    exactly: coalesce(within-bucket last non-null, last non-null of any
+    earlier bucket) == global last non-null, because floor(ts/bucket) is
+    monotone in ts.
+    """
+    ep = F.col("__ts").cast("timestamp").cast("double")
+    df = union.withColumn("__bck", F.floor(ep / bucket_s).cast("long"))
+    is_state = F.col("__is_state") == 1
+    state_ts = F.when(is_state, F.col("__ts"))
+
+    sel: list = [F.col("*")]
+    aggs: list = []
+    carry: list = [F.col("__k").alias("__sk"), F.col("__bck").alias("__sbck")]
+    ws = Window.partitionBy("__k").orderBy("__bck")
+    if direction in ("backward", "nearest"):
+        wb = (
+            Window.partitionBy("__k", "__bck")
+            .orderBy(F.col("__ts").asc(), F.col("__is_state").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        sel += [
+            F.last(f"__v_{c}", ignorenulls=True).over(wb).alias(f"__wb_{c}")
+            for c in value_cols
+        ]
+        sel.append(F.last(state_ts, ignorenulls=True).over(wb).alias("__wb_ts"))
+        # per bucket: last non-null value per column among its states
+        # (max_by skips rows whose ordering expression is null)
+        aggs += [
+            F.max_by(
+                F.col(f"__v_{c}"),
+                F.when(is_state & F.col(f"__v_{c}").isNotNull(), F.col("__ts")),
+            ).alias(f"__sb_{c}")
+            for c in value_cols
+        ]
+        aggs.append(F.max(state_ts).alias("__sb_ts"))
+        wprev = ws.rowsBetween(Window.unboundedPreceding, -1)
+        carry += [
+            F.last(f"__sb_{c}", ignorenulls=True).over(wprev).alias(f"__cb_{c}")
+            for c in value_cols
+        ]
+        carry.append(
+            F.last("__sb_ts", ignorenulls=True).over(wprev).alias("__cb_ts")
+        )
+    if direction in ("forward", "nearest"):
+        wf = (
+            Window.partitionBy("__k", "__bck")
+            .orderBy(F.col("__ts").asc(), F.col("__is_state").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        sel += [
+            F.first(f"__v_{c}", ignorenulls=True).over(wf).alias(f"__wf_{c}")
+            for c in value_cols
+        ]
+        sel.append(
+            F.first(state_ts, ignorenulls=True).over(wf).alias("__wf_ts")
+        )
+        aggs += [
+            F.min_by(
+                F.col(f"__v_{c}"),
+                F.when(is_state & F.col(f"__v_{c}").isNotNull(), F.col("__ts")),
+            ).alias(f"__sf_{c}")
+            for c in value_cols
+        ]
+        aggs.append(F.min(state_ts).alias("__sf_ts"))
+        wnext = ws.rowsBetween(1, Window.unboundedFollowing)
+        carry += [
+            F.first(f"__sf_{c}", ignorenulls=True).over(wnext).alias(f"__cf_{c}")
+            for c in value_cols
+        ]
+        carry.append(
+            F.first("__sf_ts", ignorenulls=True).over(wnext).alias("__cf_ts")
+        )
+
+    summary = df.groupBy("__k", "__bck").agg(*aggs).select(*carry)
+    out_cols = [F.col(c) for c in union.columns]
+    if direction in ("backward", "nearest"):
+        out_cols += [
+            F.coalesce(f"__wb_{c}", f"__cb_{c}").alias(f"__b_{c}")
+            for c in value_cols
+        ]
+        out_cols.append(F.coalesce("__wb_ts", "__cb_ts").alias("__b_ts"))
+    if direction in ("forward", "nearest"):
+        out_cols += [
+            F.coalesce(f"__wf_{c}", f"__cf_{c}").alias(f"__f_{c}")
+            for c in value_cols
+        ]
+        out_cols.append(F.coalesce("__wf_ts", "__cf_ts").alias("__f_ts"))
+    # null-safe on the key: a NULL key is a legal (and typically HOT)
+    # group in the window path, so it must survive the handoff join too
+    cond = F.col("__k").eqNullSafe(F.col("__sk")) & F.col(
+        "__bck"
+    ).eqNullSafe(F.col("__sbck"))
+    return df.select(*sel).join(summary, cond).select(*out_cols)
 
 
 def interval_join(

@@ -1792,7 +1792,10 @@ def q_asof_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     signup/purchase value. Implemented as union + carry-forward (ONE
     window shuffle, no inequality join — operators/temporal.asof_join);
     the oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, an independent
-    implementation of the same semantics."""
+    implementation of the same semantics. Runs through the SKEW-SAFE
+    bucketed carry (bucket_s): no window partitions on user_id alone,
+    so a hot user parallelizes across (user, day) tasks — the oracle
+    hash proves the two-pass handoff is exact."""
     from inputosm_spark.operators import temporal
 
     ev = _t(spark, sf_dir, "events")
@@ -1805,7 +1808,8 @@ def q_asof_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.round("value", 2)).alias("state_value"))
     )
     out = temporal.asof_join(clicks, states, key="user_id",
-                             value_cols=["state_value"])
+                             value_cols=["state_value"],
+                             bucket_s=86_400)
     return out.select(
         "user_id", "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
