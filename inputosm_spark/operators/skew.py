@@ -63,14 +63,17 @@ def salted_agg(
 
 def hot_keys(df: DataFrame, key: str, threshold_ratio: float = 0.01) -> DataFrame:
     """Detect hot keys: keys holding more than threshold_ratio of all
-    rows (approx_count-based scan, one pass). Feed into
+    rows. ONE scan of df: the per-key count table is cached (it feeds
+    both the total and the filter — Spark shares no cross-branch
+    subplan) and the scalar total joins back as a broadcast, instead of
+    a second full df.count() pass over the raw data. Feed into
     `repartition_salted` so only hot keys pay the salting cost.
     """
-    total = df.count()
+    counts = df.groupBy(key).agg(F.count("*").alias("cnt")).cache()
+    total = counts.agg(F.sum("cnt").alias("__total"))
     return (
-        df.groupBy(key)
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") > total * threshold_ratio)
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("__total") * threshold_ratio)
         .select(key, "cnt")
     )
 

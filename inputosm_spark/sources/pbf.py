@@ -162,18 +162,48 @@ def plan_blobs(path: str) -> list[dict]:
 
 
 def _blob_payload(data: bytes) -> bytes:
-    """Blob message -> uncompressed payload (raw | zlib; S4)."""
-    raw, z = None, None
+    """Blob message -> uncompressed payload (S4).
+
+    Codecs per fileformat.proto: 1=raw, 3=zlib, 4=lzma, 5=bzip2
+    (OBSOLETE but trivially supported — both are stdlib), 6=lz4,
+    7=zstd. The reference handles raw+zlib only
+    (/root/reference/src/inputosmpbf.cpp:872-909); lz4/zstd are
+    import-gated because those modules may not exist in the runtime —
+    the error then names the missing codec instead of failing opaquely.
+    """
+    fields: dict[int, bytes] = {}
     for fno, _, val in iter_fields(data):
-        if fno == 1:
-            raw = bytes(val)
-        elif fno == 3:
-            z = bytes(val)
-    if raw is not None:
-        return raw
-    if z is None:
-        raise ValueError("Blob has neither raw nor zlib_data")
-    return zlib.decompress(z)
+        if fno != 2:  # 2 = raw_size (advisory)
+            fields[fno] = bytes(val)
+    if 1 in fields:
+        return fields[1]
+    if 3 in fields:
+        return zlib.decompress(fields[3])
+    if 4 in fields:
+        import lzma
+
+        return lzma.decompress(fields[4])
+    if 5 in fields:
+        import bz2
+
+        return bz2.decompress(fields[5])
+    if 6 in fields:
+        try:
+            import lz4.frame  # type: ignore[import-not-found]
+        except ImportError as e:
+            raise ValueError(
+                "Blob uses lz4_data but the lz4 module is unavailable"
+            ) from e
+        return lz4.frame.decompress(fields[6])
+    if 7 in fields:
+        try:
+            import zstandard  # type: ignore[import-not-found]
+        except ImportError as e:
+            raise ValueError(
+                "Blob uses zstd_data but the zstandard module is unavailable"
+            ) from e
+        return zstandard.ZstdDecompressor().decompress(fields[7])
+    raise ValueError("Blob has no recognized payload field")
 
 
 # --- PrimitiveBlock decode (executor-side; S7-S11) -----------------------------

@@ -152,9 +152,27 @@ def primitive_block(
     return body
 
 
-def blob(payload: bytes, btype: str) -> bytes:
-    z = zlib.compress(payload)
-    b = varf(2, len(payload)) + lenf(3, z)  # raw_size + zlib_data
+def blob(payload: bytes, btype: str, codec: str = "zlib") -> bytes:
+    if codec == "zlib":
+        b = varf(2, len(payload)) + lenf(3, zlib.compress(payload))
+    elif codec == "raw":
+        b = varf(2, len(payload)) + lenf(1, payload)
+    elif codec == "lzma":
+        import lzma
+
+        b = varf(2, len(payload)) + lenf(4, lzma.compress(payload))
+    elif codec == "bzip2":
+        import bz2
+
+        b = varf(2, len(payload)) + lenf(5, bz2.compress(payload))
+    elif codec == "zstd":
+        import zstandard
+
+        b = varf(2, len(payload)) + lenf(
+            7, zstandard.ZstdCompressor().compress(payload)
+        )
+    else:
+        raise ValueError(codec)
     hdr = lenf(1, btype.encode("utf-8")) + varf(3, len(b))
     return len(hdr).to_bytes(4, "big") + hdr + b
 
@@ -193,9 +211,9 @@ def header_blob(
 
 
 def write_pbf(path: str, data_blocks: list[bytes],
-              header: bytes | None = None) -> str:
+              header: bytes | None = None, codec: str = "zlib") -> str:
     with open(path, "wb") as f:
         f.write(header_blob() if header is None else header)
         for body in data_blocks:
-            f.write(blob(body, "OSMData"))
+            f.write(blob(body, "OSMData", codec=codec))
     return path

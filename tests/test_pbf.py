@@ -289,3 +289,39 @@ def test_malformed_inputs_raise():
             pbf.plan_blobs(path)
     finally:
         _os.unlink(path)
+
+
+@pytest.mark.parametrize("codec", ["raw", "zlib", "lzma", "bzip2", "zstd"])
+def test_blob_codecs_decode_identically(spark, tmp_path, codec):
+    """Every fileformat.proto codec yields the same entities: raw/zlib
+    (the reference's coverage), lzma/bzip2 (stdlib), zstd (import-gated
+    — skipped when the module is absent, and the import-gate error is
+    asserted instead)."""
+    block = W.primitive_block(
+        lambda st: [W.dense_group(st, [GOLDEN_NODES[0]]),
+                    W.way_group(st, GOLDEN_WAY)]
+    )
+    have_zstd = True
+    if codec == "zstd":
+        try:
+            import zstandard  # noqa: F401
+        except ImportError:
+            have_zstd = False
+    if codec == "zstd" and not have_zstd:
+        import zlib as _z
+
+        payload = _z.compress(b"x")  # fake zstd field with zlib bytes
+        fake = (W.varf(2, 1) + W.lenf(7, payload))
+        with pytest.raises(ValueError, match="zstandard"):
+            pbf._blob_payload(fake)
+        return
+    path = W.write_pbf(str(tmp_path / f"c_{codec}.osm.pbf"), [block],
+                       codec=codec)
+    ent = pbf.read_pbf_entities(spark, path)
+    rows = {(r.kind, r.id) for r in ent.collect()}
+    assert rows == {("node", 1), ("way", 10)}
+
+
+def test_unknown_blob_payload_raises():
+    with pytest.raises(ValueError, match="no recognized payload"):
+        pbf._blob_payload(W.varf(2, 5))
