@@ -204,3 +204,46 @@ def winnow_sketch(documents: DataFrame, text_col: str = "text",
         "doc_id", normalize_text(F.col(text_col)).alias("__norm")
     )
     return staged.select("doc_id", F.explode(_minima("__norm")).alias("minhash"))
+
+
+def tfidf_top_terms(documents: DataFrame, text_col: str = "text",
+                    k: int = 3) -> DataFrame:
+    """Integer tf-idf keyword extraction: top-k terms per document.
+
+    Engine-neutral by construction — no logarithm, no floats:
+    score = (tf * n_docs) DIV df (integral division), ranked per doc by
+    (score DESC, term ASC). Tokens are the repo's standard cross-engine
+    tokenizer (lower + split on whitespace, empties dropped).
+
+    100 TB plan shape: ONE explode + map-side-combinable
+    groupBy(doc_id, term); document frequency comes from the ALREADY
+    AGGREGATED tf table (never a second corpus scan — tf is cached as
+    it feeds two branches); the scalar corpus size joins back as a
+    broadcast; the final per-doc window partitions on doc_id, which is
+    uniform by definition.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = documents.agg(F.count("*").alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("score", F.expr("(tf * __n) div df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )

@@ -2451,3 +2451,92 @@ def q_asof_user_state_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         "state_value",
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                w -> length(w) > 0)) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS __n FROM documents)
+    SELECT doc_id, term, tf, df, score, rnk FROM (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             (t.tf * n.__n) // d.df AS score,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY (t.tf * n.__n) // d.df DESC, t.term ASC) AS rnk
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+    ) WHERE rnk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer tf-idf keyword extraction: top-3 terms per document with
+    (tf * n_docs) DIV df scoring — logarithm-free so the oracle replays
+    exactly (operators/textstats.tfidf_top_terms)."""
+    return textstats.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+_WAYLEN_LAT, _WAYLEN_LON = cells.point_sql("l_partkey")
+
+
+@register(
+    "way_length",
+    oracle=f"""
+    WITH pts AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             {_WAYLEN_LAT} AS lat, {_WAYLEN_LON} AS lon
+      FROM lineitem
+    ),
+    seg AS (
+      SELECT l_orderkey,
+             CAST(floor(sqrt(
+               (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w)
+               + (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)
+             )) AS BIGINT) AS sl
+      FROM pts
+      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey)
+    )
+    SELECT l_orderkey AS orderkey,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(coalesce(sum(sl), 0) AS BIGINT) AS len_e4
+    FROM seg GROUP BY 1
+    """,
+)
+def q_way_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline length per assembled way in fixed-point e4-degree units
+    (the engine's integer coordinate model, like the reference's
+    nanodegree ints — /root/reference/src/inputosmpbf.cpp raw coords).
+    Segment length = floor(sqrt(dlat^2 + dlon^2)): the radicand is an
+    exact integer < 2^53 and IEEE sqrt is correctly rounded in both
+    engines, so every segment length is a deterministic INTEGER and the
+    per-way sum is order-independent — float-trig-free geodesy that
+    hashes bit-for-bit. One groupBy shuffle; pairwise deltas via
+    zip_with over the sorted point array (no window, no join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    lat, lon = cells.point_exprs("l_partkey")
+    pts = li.select("l_orderkey", "l_linenumber", "l_partkey", lat, lon)
+    arr = F.array_sort(
+        F.collect_list(F.struct("l_linenumber", "l_partkey", "lat_e4", "lon_e4"))
+    )
+    segs = F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda a, b: F.floor(
+            F.sqrt(
+                (a.lat_e4 - b.lat_e4) * (a.lat_e4 - b.lat_e4)
+                + (a.lon_e4 - b.lon_e4) * (a.lon_e4 - b.lon_e4)
+            )
+        ),
+    )
+    return pts.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.count("*").alias("n_points"),
+        F.aggregate(
+            segs, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("len_e4"),
+    )
