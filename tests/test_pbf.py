@@ -325,3 +325,62 @@ def test_blob_codecs_decode_identically(spark, tmp_path, codec):
 def test_unknown_blob_payload_raises():
     with pytest.raises(ValueError, match="no recognized payload"):
         pbf._blob_payload(W.varf(2, 5))
+
+
+def test_read_pbf_stream_matches_batch(spark, tmp_path):
+    """Streaming landing zone == batch reader: two files land, the
+    drained stream's entities equal the union of batch reads, and each
+    row is tagged with its source file."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    paths = []
+    for i in range(2):
+        ns = [dict(id=1000 * i + j, raw_lat=10**7 + j, raw_lon=-(10**7) + j,
+                   tags={"f": str(i)}, version=1,
+                   ts_s=1_600_000_000, changeset=i) for j in range(4)]
+        block = W.primitive_block(
+            lambda st, ns=ns, i=i: [
+                W.dense_group(st, ns),
+                W.way_group(st, dict(id=5000 + i, node_refs=[1000 * i, 1000 * i + 1],
+                                     tags={}, version=1,
+                                     ts_s=1_600_000_000, changeset=i)),
+            ]
+        )
+        paths.append(W.write_pbf(str(landing / f"drop{i}.osm.pbf"), [block]))
+
+    src = pbf.read_pbf_stream(spark, str(landing), max_files_per_trigger=1)
+    out = str(tmp_path / "stream_out")
+    q = (src.writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+
+    batch_rows = set()
+    for p in paths:
+        for r in pbf.read_pbf_entities(spark, p).select("kind", "id").collect():
+            batch_rows.add((r.kind, r.id))
+    stream_rows = {(r.kind, r.id) for r in got.select("kind", "id").collect()}
+    assert stream_rows == batch_rows and len(stream_rows) == 10
+    files = {r.source_file for r in got.select("source_file").collect()}
+    assert len(files) == 2 and all("drop" in f for f in files)
+
+
+def test_read_pbf_stream_rejects_bad_required_feature(spark, tmp_path):
+    landing = tmp_path / "bad_landing"
+    landing.mkdir()
+    block = W.primitive_block(
+        lambda st: [W.dense_group(st, [GOLDEN_NODES[0]])]
+    )
+    hdr = W.header_blob(required=("OsmSchema-V0.6", "Exotic-Feature-v9"))
+    W.write_pbf(str(landing / "bad.osm.pbf"), [block], header=hdr)
+    src = pbf.read_pbf_stream(spark, str(landing))
+    q = (src.writeStream.format("parquet")
+         .option("path", str(tmp_path / "bad_out"))
+         .option("checkpointLocation", str(tmp_path / "bad_ckpt"))
+         .trigger(availableNow=True).start())
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        q.awaitTermination()
