@@ -2540,3 +2540,86 @@ def q_way_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             segs, F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("len_e4"),
     )
+
+
+_PBF_RT_LAT, _PBF_RT_LON = cells.point_sql("o_orderkey")
+
+
+@register(
+    "pbf_roundtrip",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT o_orderkey AS id,
+             {_PBF_RT_LAT} AS raw_lat, {_PBF_RT_LON} AS raw_lon,
+             o_custkey AS changeset,
+             epoch(CAST(o_orderdate AS TIMESTAMP)) AS ts_s,
+             o_orderpriority AS clerk
+      FROM orders
+    )
+    SELECT CAST(id % 7 AS BIGINT) AS bucket,
+           count(*) AS n,
+           sum(raw_lat) AS sum_lat,
+           sum(raw_lon) AS sum_lon,
+           sum(changeset) AS sum_cs,
+           CAST(sum(ts_s) AS BIGINT) AS sum_ts_s,
+           max(id) AS max_id,
+           count(DISTINCT clerk) AS n_clerks
+    FROM nodes GROUP BY 1
+    """,
+)
+def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL WIRE-FORMAT ROUNDTRIP under the oracle gate: orders rows
+    become dense nodes (id / fixed-point coords / tags / info), the
+    distributed K1 sink (sources/pbf_encode.write_pbf_shards) writes
+    one .osm.pbf per partition, the blob-parallel reader
+    (sources/pbf.read_pbf_entities) decodes them back, and the
+    aggregate must hash-match pure SQL over the SOURCE table — any bit
+    lost in varint/zigzag/delta/stringtable encode OR decode breaks the
+    hash. This puts S2-S11 + the sink into CORRECTNESS, not just
+    pytest."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from inputosm_spark.sources import pbf, pbf_encode
+
+    orders = _t(spark, sf_dir, "orders")
+    lat, lon = cells.point_exprs("o_orderkey")
+    ent = orders.select(
+        F.lit("node").alias("kind"),
+        F.col("o_orderkey").alias("id"),
+        lat.alias("raw_lat"),
+        lon.alias("raw_lon"),
+        F.lit(None).cast("array<long>").alias("node_refs"),
+        F.lit(None).cast(
+            "array<struct<type:int,ref:long,role:string>>"
+        ).alias("members"),
+        F.create_map(F.lit("clerk"), F.col("o_orderpriority")).alias("tags"),
+        F.lit(1).cast("int").alias("version"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.col("o_custkey").alias("changeset"),
+    ).repartition(4)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "inputosm_pbf_roundtrip_" + re.sub(r"\W", "_", sf_dir),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shards = pbf_encode.write_pbf_shards(ent, out_dir)
+    back = None
+    for s in shards:
+        part = pbf.read_pbf_entities(spark, s["path"])
+        back = part if back is None else back.unionByName(part)
+    return back.groupBy(
+        F.pmod("id", F.lit(7)).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("raw_lat").alias("sum_lat"),
+        F.sum("raw_lon").alias("sum_lon"),
+        F.sum("changeset").alias("sum_cs"),
+        F.sum(F.unix_timestamp("ts")).alias("sum_ts_s"),
+        F.max("id").alias("max_id"),
+        F.countDistinct(F.element_at("tags", F.lit("clerk"))).alias(
+            "n_clerks"
+        ),
+    )
