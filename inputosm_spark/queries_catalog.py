@@ -2623,3 +2623,162 @@ def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clerks"
         ),
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id,
+             min(substr(md5('0|' || shingle), 1, 8)) AS sig_0,
+             min(substr(md5('0|' || shingle), 9, 8)) AS sig_1,
+             min(substr(md5('0|' || shingle), 17, 8)) AS sig_2,
+             min(substr(md5('0|' || shingle), 25, 8)) AS sig_3
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS band_val FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, sig_2 || '|' || sig_3 AS band_val FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS a,
+                      CAST(b.doc_id AS BIGINT) AS b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach AS (
+      SELECT node, node AS lab FROM (SELECT DISTINCT a AS node FROM sym)
+      UNION
+      SELECT s.b AS node, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    labels AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    base AS ({_QUALITY_SQL}),
+    qual AS (
+      SELECT doc_id,
+             round(0.4 * (CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0
+                               WHEN n_chars < 100 THEN n_chars / 100.0
+                               ELSE 5000.0 / n_chars END)
+                   + 0.2 * (CASE WHEN CAST(n_nospace AS DOUBLE) / n_words
+                                      BETWEEN 3 AND 10
+                                 THEN 1.0 ELSE 0.5 END)
+                   + 0.2 * least(CAST(len(list_filter(words,
+                         x -> x IN {_ALL_STOPS_SQL})) AS DOUBLE)
+                         / n_words * 5, 1.0)
+                   + 0.2 * (1 - least(CAST(n_punct AS DOUBLE)
+                         / n_chars_t * 5, 1.0)), 4) AS quality
+      FROM base
+    ),
+    ranked AS (
+      SELECT l.component, l.doc_id, q.quality,
+             row_number() OVER (PARTITION BY l.component
+                                ORDER BY q.quality DESC, l.doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY l.component) AS cluster_size
+      FROM labels l JOIN qual q USING (doc_id)
+    )
+    SELECT component, doc_id AS kept_doc, quality,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANONICAL-DOCUMENT SELECTION — the end of the dedup ladder a
+    training pipeline actually ships: near-dup clusters (LSH pairs ->
+    connected components) keep their HIGHEST-QUALITY member, not an
+    arbitrary one. Composition of dedup_clusters + quality_score with
+    a per-component ranking window (rounded quality DESC, doc_id ASC —
+    a total order both engines replay)."""
+    from inputosm_spark.operators import graph
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    sdocs = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                        "text")
+    sigs = dedup.minhash_signatures(dedup.word_shingles(sdocs, n=3),
+                                    n_hashes=4)
+    cand = dedup.lsh_candidate_pairs(sigs, n_bands=2, rows_per_band=2)
+    comp = graph.connected_components(
+        cand.select(
+            F.col("doc_a").cast("long").alias("src"),
+            F.col("doc_b").cast("long").alias("dst"),
+        )
+    )
+    labels = docs.select("doc_id").join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("component", "doc_id").alias("component"))
+    qual = textstats.quality_score(docs).select("doc_id", "quality")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("component")
+    return (
+        labels.join(qual, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component", F.col("doc_id").alias("kept_doc"), "quality",
+            "cluster_size",
+        )
+    )
+
+
+@register(
+    "way_area",
+    oracle=f"""
+    WITH pts AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             {_WAYLEN_LAT} AS lat, {_WAYLEN_LON} AS lon
+      FROM lineitem
+    ),
+    ring AS (
+      SELECT l_orderkey, lon AS x, lat AS y,
+             coalesce(lead(lon) OVER w, first_value(lon) OVER w2) AS xn,
+             coalesce(lead(lat) OVER w, first_value(lat) OVER w2) AS yn
+      FROM pts
+      WINDOW w AS (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey),
+             w2 AS (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+    )
+    SELECT l_orderkey AS orderkey,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(abs(sum(x * yn - xn * y)) AS BIGINT) AS area2_e8
+    FROM ring GROUP BY 1
+    """,
+)
+def q_way_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace polygon area per closed ring (2x area in squared-e4
+    units): the cross-product sum is PURE INTEGER arithmetic (coords
+    < 2e6, products < 2^42, ring sums « 2^53), so the result is exact
+    and order-independent in both engines — the area twin of
+    way_length's trig-free geodesy. Ring closure = zip_with of the
+    sorted point array against its rotate-by-one; one groupBy shuffle,
+    no window, no join."""
+    li = _t(spark, sf_dir, "lineitem")
+    lat, lon = cells.point_exprs("l_partkey")
+    pts = li.select("l_orderkey", "l_linenumber", "l_partkey", lat, lon)
+    arr = F.array_sort(
+        F.collect_list(F.struct("l_linenumber", "l_partkey", "lat_e4",
+                                "lon_e4"))
+    )
+    rot = F.concat(F.slice(arr, 2, F.size(arr) - 1), F.slice(arr, 1, 1))
+    cross = F.zip_with(
+        arr, rot,
+        lambda a, b: a.lon_e4 * b.lat_e4 - b.lon_e4 * a.lat_e4,
+    )
+    return pts.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.count("*").alias("n_points"),
+        F.abs(
+            F.aggregate(cross, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        ).alias("area2_e8"),
+    )
