@@ -85,6 +85,11 @@ HEADLINE = [
     "count_all",
     "statistics",
     "ordered_assembly",
+    "tfidf_top_terms",
+    "way_length",
+    "way_area",
+    "pbf_roundtrip",
+    "dedup_keep_best",
 ]
 
 

@@ -2591,9 +2591,12 @@ def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("id"),
         lat.alias("raw_lat"),
         lon.alias("raw_lon"),
-        F.lit(None).cast("array<long>").alias("node_refs"),
-        F.lit(None).cast(
-            "array<struct<type:int,ref:long,role:string>>"
+        # EMPTY arrays, not NULL casts: a NULL-literal nested column is
+        # ~15x slower through Spark's JVM->Arrow writer (measured
+        # 10.4s vs 0.6s per 2M rows on this box) — see CLAUDE.md
+        F.expr("CAST(array() AS array<long>)").alias("node_refs"),
+        F.expr(
+            "CAST(array() AS array<struct<type:int,ref:long,role:string>>)"
         ).alias("members"),
         F.create_map(F.lit("clerk"), F.col("o_orderpriority")).alias("tags"),
         F.lit(1).cast("int").alias("version"),
@@ -2606,10 +2609,7 @@ def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     shards = pbf_encode.write_pbf_shards(ent, out_dir)
-    back = None
-    for s in shards:
-        part = pbf.read_pbf_entities(spark, s["path"])
-        back = part if back is None else back.unionByName(part)
+    back = pbf.read_pbf_entities(spark, [s["path"] for s in shards])
     return back.groupBy(
         F.pmod("id", F.lit(7)).cast("long").alias("bucket")
     ).agg(

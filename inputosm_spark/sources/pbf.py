@@ -865,20 +865,31 @@ def _records_to_batches(recs: dict):
         yield _rel_block_to_batch(recs["relations"])
 
 
-def read_pbf_entities(spark: SparkSession, path: str) -> DataFrame:
-    """All entities of a .osm.pbf as one DataFrame (kind-discriminated
-    superset schema). One Spark task decodes one blob — the reference's
-    work-queue granularity (inputosmpbf.cpp:1028-1056). mapInArrow:
-    dense-node blocks go numpy -> Arrow directly (no pandas hop).
-    Validates the header's required_features first (S12)."""
-    all_plans = plan_blobs(path)
-    if any(p["blob_type"] == "OSMHeader" for p in all_plans):
-        validate_header(read_header(path))
-    plans = [p for p in all_plans if p["blob_type"] == "OSMData"]
+def read_pbf_entities(
+    spark: SparkSession, path: str | list[str]
+) -> DataFrame:
+    """All entities of one or MANY .osm.pbf files as one DataFrame
+    (kind-discriminated superset schema). One Spark task decodes one
+    blob — the reference's work-queue granularity
+    (inputosmpbf.cpp:1028-1056) — and a multi-file read (e.g. a sink's
+    shard directory) is ONE plan over the union of all files' blobs,
+    not N unioned subplans. mapInArrow: dense-node blocks go numpy ->
+    Arrow directly (no pandas hop). Validates each file's header
+    required_features first (S12)."""
+    paths = [path] if isinstance(path, str) else list(path)
+    plans = []
+    for p in paths:
+        file_plans = plan_blobs(p)
+        if any(fp["blob_type"] == "OSMHeader" for fp in file_plans):
+            validate_header(read_header(p))
+        plans += [
+            dict(fp, path=p) for fp in file_plans
+            if fp["blob_type"] == "OSMData"
+        ]
     if not plans:
-        raise ValueError(f"no OSMData blobs in {path}")
+        raise ValueError(f"no OSMData blobs in {paths}")
     desc = spark.createDataFrame(
-        [(path, p["offset"], p["datasize"]) for p in plans],
+        [(p["path"], p["offset"], p["datasize"]) for p in plans],
         "path string, offset long, datasize long",
     )
     n_parts = min(len(plans), spark.sparkContext.defaultParallelism)
