@@ -179,15 +179,35 @@ def main() -> int:
     # host window — this VM has noisy-neighbor episodes that would
     # otherwise bias whichever level ran during a bad minute; keep the
     # best round per level (the uncontended estimate)
+    #
+    # NOISE-SPREAD GUARD (round 3; a discarded remeasure had walls of
+    # 6.3/14.7/22.7 s within ONE best-of-3): a level's minimum counts
+    # as TRUSTED only when its second-fastest wall across all rounds is
+    # within 25% of the fastest — i.e. the minimum was REPRODUCED, not
+    # a one-off quiet instant. Untrusted levels earn extra alternated
+    # rounds (bounded), and the flags land in the JSON so a bad window
+    # is visible instead of silently recorded.
     rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
-    small = big = None
-    for _ in range(rounds):
-        s = run_job(small_n, n_docs)
-        b = run_job(big_n, n_docs)
-        if small is None or s["wall_s"] < small["wall_s"]:
-            small = s
-        if big is None or b["wall_s"] < big["wall_s"]:
-            big = b
+    max_extra = int(os.environ.get("SCALING_MAX_EXTRA", "3"))
+    walls: dict[int, list[float]] = {small_n: [], big_n: []}
+    best: dict[int, dict | None] = {small_n: None, big_n: None}
+
+    def trusted(n: int) -> bool:
+        w = sorted(walls[n])
+        return len(w) >= 2 and w[1] / w[0] < 1.25
+
+    done = 0
+    while done < rounds or (
+        done < rounds + max_extra
+        and not (trusted(small_n) and trusted(big_n))
+    ):
+        for n in (small_n, big_n):
+            r = run_job(n, n_docs)
+            walls[n] += list(r.get("walls_all", [r["wall_s"]]))
+            if best[n] is None or r["wall_s"] < best[n]["wall_s"]:
+                best[n] = r
+        done += 1
+    small, big = best[small_n], best[big_n]
 
     speedup = big["docs_per_sec"] / small["docs_per_sec"]
     efficiency = speedup / (big_n / small_n)
@@ -222,6 +242,13 @@ def main() -> int:
             "retains; on a real N->4N cluster the runtime constant is "
             "per-executor and does not serialize across machines"
         ),
+        "noise_guard": {
+            "trusted_small": trusted(small_n),
+            "trusted_big": trusted(big_n),
+            "criterion": "2nd-fastest wall within 25% of fastest",
+            "all_walls_small": sorted(walls[small_n]),
+            "all_walls_big": sorted(walls[big_n]),
+        },
         "raw_small": small,
         "raw_big": big,
     }
