@@ -104,6 +104,39 @@ def kring_expr(lat_e4: Column | str, lon_e4: Column | str, res: int, k: int = 1)
     )
 
 
+def morton_expr(lat_e4: Column | str, lon_e4: Column | str,
+                res: int) -> Column:
+    """Z-order (Morton) code: bit-interleave of the res-grid (x, y) —
+    the layout-clustering key that keeps spatially near cells near in
+    FILE order, so parquet min/max stats prune 2-D regions from a 1-D
+    sort. Pure integer Catalyst expression (res+1 x-bits interleaved
+    with res y-bits, unrolled at plan-build time — no UDF, no loop at
+    runtime)."""
+    x = cell_x_expr(lon_e4, res)
+    y = cell_y_expr(lat_e4, res)
+    code: Column = F.lit(0).cast("long")
+    for i in range(res + 1):
+        code = code + F.shiftleft(
+            F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        if i < res:
+            code = code + F.shiftleft(
+                F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+    return code.cast("long")
+
+
+def morton_sql(lat_sql: str, lon_sql: str, res: int) -> str:
+    """The same interleave, unrolled in ANSI SQL for the oracle."""
+    x, y = cell_xy_sql(lat_sql, lon_sql, res)
+    terms = []
+    for i in range(res + 1):
+        terms.append(f"((({x}) // {1 << i}) % 2) * {1 << (2 * i)}")
+        if i < res:
+            terms.append(f"((({y}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
 def dist2_expr(lat1, lon1, lat2, lon2) -> Column:
     dlat = _col(lat1) - _col(lat2)
     dlon = _col(lon1) - _col(lon2)

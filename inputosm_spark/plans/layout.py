@@ -61,6 +61,32 @@ def write_corpus(df: DataFrame, path: str, n_files_per_partition: int = 1) -> No
     )
 
 
+def write_corpus_zordered(
+    df: DataFrame,
+    path: str,
+    lat_col: str = "lat_e4",
+    lon_col: str = "lon_e4",
+    res: int = 8,
+    n_files: int = 8,
+) -> None:
+    """Z-ORDER clustered materialization: rows are range-partitioned
+    and sorted by their Morton code (functions/cells.morton_expr), so
+    each parquet file covers a COMPACT 2-D region and the footer
+    min/max stats on (cell, lat, lon) prune spatial queries from a
+    plain 1-D sort — the standard lakehouse layout trick (Delta/Iceberg
+    OPTIMIZE ZORDER), expressed as pure Catalyst integer math. Use for
+    read-heavy spatial corpora; `write_corpus` (bucket x prefix) when
+    per-doc join co-location matters more."""
+    z = df.withColumn("__z", cells.morton_expr(lat_col, lon_col, res))
+    (
+        z.repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def explain_pruning(spark, path: str, prefix_values: list[int]) -> str:
     """Read back with a prefix filter and return the physical plan —
     used by tests to assert partition pruning actually happens."""

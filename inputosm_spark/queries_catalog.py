@@ -2782,3 +2782,31 @@ def q_way_area(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(cross, F.lit(0).cast("long"), lambda acc, x: acc + x)
         ).alias("area2_e8"),
     )
+
+
+_ZORD_LAT, _ZORD_LON = cells.point_sql("doc_id")
+
+
+@register(
+    "zorder_cells",
+    oracle=f"""
+    SELECT doc_id,
+           {cells.cell_id_sql(_ZORD_LAT, _ZORD_LON, 8)} AS cell8,
+           {cells.morton_sql(_ZORD_LAT, _ZORD_LON, 8)} AS morton
+    FROM documents
+    """,
+)
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key per document: the bit-interleave of
+    the res-8 grid coordinates that write_corpus_zordered clusters
+    files by (functions/cells.morton_expr — unrolled integer Catalyst
+    expression, SQL twin replays the identical interleave). No global
+    sort here — the z-ordered WRITE range-partitions on this key; the
+    key itself is embarrassingly parallel."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    return docs.select(
+        "doc_id",
+        cells.cell_id_expr(lat, lon, 8).alias("cell8"),
+        cells.morton_expr(lat, lon, 8).alias("morton"),
+    )

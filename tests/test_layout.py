@@ -43,3 +43,71 @@ def test_write_read_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     got = back.filter(F.col("cell_prefix") == int(one)).count()
     want = df.filter(F.col("cell_prefix") == int(one)).count()
     assert got == want > 0
+
+
+def test_zorder_write_clusters_files_spatially(spark, tmp_path):
+    """Each z-ordered file must cover a COMPACT Morton range: the sum
+    of per-file (max_z - min_z) spans is far below the random layout's
+    (which makes every file span ~the whole space). This is the
+    file-skipping property the layout exists for."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from inputosm_spark.functions import cells as cellfn
+    from inputosm_spark.plans import layout
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        *cellfn.point_exprs("id"),
+    )
+    zdir = tmp_path / "zordered"
+    layout.write_corpus_zordered(df, str(zdir), n_files=8)
+    rnd = tmp_path / "random"
+    df.repartition(8).write.parquet(str(rnd))
+
+    def file_spans(d):
+        spans = []
+        for p in sorted(d.glob("part-*.parquet")):
+            t = pq.read_table(p, columns=["lat_e4", "lon_e4"])
+            import numpy as np
+
+            la = t["lat_e4"].to_numpy()
+            lo = t["lon_e4"].to_numpy()
+            spans.append(
+                (la.max() - la.min()) / 1.8e6 * (lo.max() - lo.min()) / 3.6e6
+            )
+        return spans
+
+    z_spans = file_spans(zdir)
+    r_spans = file_spans(rnd)
+    assert len(z_spans) >= 4
+    # random files each cover ~the whole unit square; z-ordered files
+    # must average far less area
+    assert sum(z_spans) / len(z_spans) < 0.5 * sum(r_spans) / len(r_spans)
+
+
+def test_morton_expr_matches_python_interleave(spark):
+    """Catalyst Morton == a straightforward per-value Python
+    interleave over the same grid coords."""
+    from pyspark.sql import functions as F
+
+    from inputosm_spark import geo
+    from inputosm_spark.functions import cells as cellfn
+
+    res = 8
+    df = spark.range(500).select(
+        F.col("id"), *cellfn.point_exprs("id")
+    ).select(
+        "id", "lat_e4", "lon_e4",
+        cellfn.morton_expr("lat_e4", "lon_e4", res).alias("m"),
+        cellfn.cell_x_expr("lon_e4", res).alias("x"),
+        cellfn.cell_y_expr("lat_e4", res).alias("y"),
+    )
+    for r in df.collect():
+        want = 0
+        for i in range(res + 1):
+            want += ((r.x >> i) & 1) << (2 * i)
+            if i < res:
+                want += ((r.y >> i) & 1) << (2 * i + 1)
+        assert r.m == want, (r.id, r.x, r.y)
