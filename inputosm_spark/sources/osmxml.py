@@ -181,3 +181,81 @@ def apply_changes(base: DataFrame, changes: DataFrame, key: str = "id") -> DataF
     # and absent from `upserts` — no separate delete pass needed
     kept = base.join(touched, key, "left_anti")
     return kept.unionByName(upserts)
+
+
+OSC_STREAM_DDL = (
+    "kind string, id long, raw_lat long, raw_lon long, "
+    "node_refs array<long>, "
+    "members array<struct<type:int,ref:long,role:string>>, "
+    "tags map<string,string>, version int, ts timestamp, changeset long, "
+    "op string, seq long, source_file string"
+)
+
+
+def read_osc_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING OSC landing zone: every ``*.osc`` change file landing
+    in the directory parses into CDC rows (kind-discriminated superset
+    schema + op + source_file) as it arrives — the streaming twin of
+    `read_osc`, mirroring `pbf.read_pbf_stream`. One task SAX-parses
+    one file, matching the reference's single-threaded-per-file XML
+    path (/root/reference/src/inputosmxml.cpp:260-310). ``seq``
+    preserves each KIND's within-file document order (ops on the same
+    entity are always the same kind, so per-kind order is exactly what
+    sequential-replay "last op in file wins" resolution needs
+    downstream in `apply_changes`-style merges).
+    """
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.osc")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(landing_dir).select("path", "content")
+
+    def parse(it):
+        import io as _io
+
+        import pandas as pd
+
+        for pdf in it:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                handler = _OsmHandler(with_op=True)
+                xml.sax.parse(_io.BytesIO(bytes(content)), handler)
+                rows = []
+                for n in handler.out.nodes:
+                    nid, lat, lon, tags, ver, ts, cs, op = n
+                    rows.append(("node", nid, lat, lon, [], [], tags,
+                                 ver, ts, cs, op))
+                for w in handler.out.ways:
+                    wid, refs, tags, ver, ts, cs, op = w
+                    rows.append(("way", wid, None, None, list(refs), [],
+                                 tags, ver, ts, cs, op))
+                for r in handler.out.relations:
+                    rid, members, tags, ver, ts, cs, op = r
+                    rows.append((
+                        "relation", rid, None, None, [],
+                        [dict(zip(("type", "ref", "role"), m))
+                         for m in members],
+                        tags, ver, ts, cs, op,
+                    ))
+                if not rows:
+                    continue
+                out = pd.DataFrame(
+                    rows,
+                    columns=["kind", "id", "raw_lat", "raw_lon",
+                             "node_refs", "members", "tags", "version",
+                             "ts", "changeset", "op"],
+                )
+                out["seq"] = range(len(out))
+                out["source_file"] = path
+                yield out
+
+    return raw.mapInPandas(parse, OSC_STREAM_DDL)

@@ -183,3 +183,47 @@ def test_apply_changes_multiple_ops_same_key(spark):
     assert got[3].tags == "born" and got[3].version == 2
     assert got[4].tags == "final" and got[4].version == 2
     assert got[5].tags == "revert" and got[5].version == 1
+
+
+def test_read_osc_stream_matches_batch(spark, tmp_path):
+    """Streaming OSC landing zone == batch read_osc per file: ops,
+    entities, tags, members and source tagging all line up."""
+    landing = tmp_path / "osc_landing"
+    landing.mkdir()
+    p1 = _write(landing, "a.osc", OSC)
+    OSC2 = OSC.replace('id="100"', 'id="101"').replace(
+        'id="200"', 'id="201"').replace('id="300"', 'id="301"')
+    p2 = _write(landing, "b.osc", OSC2)
+
+    src = osmxml.read_osc_stream(spark, str(landing), max_files_per_trigger=1)
+    out = str(tmp_path / "osc_out")
+    q = (src.writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "osc_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+
+    want = set()
+    for p in (p1, p2):
+        n, w, r = osmxml.read_osc(spark, p)
+        for row in n.collect():
+            want.add(("node", row.id, row.op, tuple(sorted(row.tags.items()))))
+        for row in w.collect():
+            want.add(("way", row.id, row.op, tuple(row.node_refs)))
+        for row in r.collect():
+            want.add(("relation", row.id, row.op,
+                      tuple((m.type, m.ref, m.role) for m in row.members)))
+    have = set()
+    for row in got.collect():
+        if row.kind == "node":
+            have.add((row.kind, row.id, row.op,
+                      tuple(sorted(row.tags.items()))))
+        elif row.kind == "way":
+            have.add((row.kind, row.id, row.op, tuple(row.node_refs)))
+        else:
+            have.add((row.kind, row.id, row.op,
+                      tuple((m.type, m.ref, m.role) for m in row.members)))
+    assert have == want and len(have) == 6
+    assert {r.source_file.rsplit("/", 1)[-1] for r in got.collect()} == \
+        {"a.osc", "b.osc"}
