@@ -90,6 +90,8 @@ HEADLINE = [
     "way_area",
     "pbf_roundtrip",
     "dedup_keep_best",
+    "zorder_cells",
+    "heavy_hitter_terms",
 ]
 
 

@@ -247,3 +247,99 @@ def tfidf_top_terms(documents: DataFrame, text_col: str = "text",
         .filter(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
+
+
+def _mg_update(counters: dict, batch_counts, m: int) -> None:
+    """Merge one batch's value_counts into a Misra-Gries summary of
+    capacity m (decrement-by-(m+1)th-largest truncation). Cost is
+    O(distinct terms), never per row."""
+    for term, c in batch_counts.items():
+        counters[term] = counters.get(term, 0) + int(c)
+    if len(counters) > m:
+        kth = sorted(counters.values(), reverse=True)[m]
+        for t in [t for t, v in counters.items() if v <= kth]:
+            del counters[t]
+        for t in counters:
+            counters[t] -= kth
+
+
+def heavy_hitters(documents: DataFrame, text_col: str = "text",
+                  m: int = 64) -> DataFrame:
+    """EXACT heavy hitters: all terms with global count * m > N (i.e.
+    frequency > N/m), with their exact counts.
+
+    The 100 TB shape is the classic two-pass candidate-pruned exact
+    count (mergeable-summaries MG, Agarwal et al., PODS'12):
+
+    1. per-partition Misra-Gries summaries of capacity m (vectorized:
+       value_counts per Arrow batch, dict ops per DISTINCT term only),
+       each <= m entries regardless of partition size;
+    2. driver merge of the tiny summaries — the merged key set is a
+       guaranteed SUPERSET of every term with count > N/m;
+    3. exact count pass over ONLY candidate tokens: the broadcast isin
+       filter prunes the shuffle to the candidate terms instead of the
+       full vocabulary — at web scale that is the difference between
+       shuffling billions of distinct terms and shuffling m.
+
+    The result is EXACT (pass 3 counts are true counts; the sketch only
+    prunes), so the DuckDB oracle replays it as GROUP BY + HAVING
+    cnt * m > total — integer arithmetic, no thresholds in floats.
+    """
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    toks = documents.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda w: F.length(w) > 0)
+        ).alias("term")
+    )
+
+    cap = m
+
+    # each summary row carries the partition's token total in `n` (on a
+    # sentinel NULL-term row), so the sketch pass yields BOTH the
+    # candidate set and N — the final plan then scans the token stream
+    # exactly once more (no third branch, nothing cached)
+    def mg_partition(it):
+        counters: dict = {}
+        n_seen = 0
+        for pdf in it:
+            n_seen += len(pdf)
+            _mg_update(counters, pdf["term"].value_counts(), cap)
+        yield pd.DataFrame(
+            {
+                "term": list(counters.keys()) + [None],
+                "c": list(counters.values()) + [0],
+                "n": [0] * len(counters) + [n_seen],
+            }
+        )
+
+    summary_schema = StructType([
+        StructField("term", StringType()),
+        StructField("c", LongType()),
+        StructField("n", LongType()),
+    ])
+    partials = toks.mapInPandas(mg_partition, summary_schema).collect()
+    merged: dict = {}
+    total = 0
+    for r in partials:
+        if r.term is None:
+            total += r.n
+        else:
+            merged[r.term] = merged.get(r.term, 0) + r.c
+    if len(merged) > cap:
+        kth = sorted(merged.values(), reverse=True)[cap]
+        merged = {t: v - kth for t, v in merged.items() if v > kth}
+    candidates = sorted(merged)
+    if not candidates:
+        return toks.groupBy("term").agg(
+            F.count("*").alias("cnt")
+        ).filter(F.lit(False))
+
+    return (
+        toks.filter(F.col("term").isin(candidates))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * cap > F.lit(total))
+    )

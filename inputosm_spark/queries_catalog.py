@@ -2810,3 +2810,27 @@ def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.cell_id_expr(lat, lon, 8).alias("cell8"),
         cells.morton_expr(lat, lon, 8).alias("morton"),
     )
+
+
+@register(
+    "heavy_hitter_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                w -> length(w) > 0)) AS term
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS c FROM toks)
+    SELECT term, count(*) AS cnt
+    FROM toks GROUP BY term
+    HAVING count(*) * 64 > (SELECT c FROM n)
+    """,
+)
+def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (terms with frequency > N/64) via the
+    two-pass Misra-Gries candidate-pruned count
+    (operators/textstats.heavy_hitters): the sketch only PRUNES the
+    exact pass's shuffle to <=64 candidate terms, so the result — and
+    therefore the oracle, a plain GROUP BY ... HAVING cnt*64 > N — is
+    exact integer arithmetic."""
+    return textstats.heavy_hitters(_t(spark, sf_dir, "documents"), m=64)
