@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_keep_best",
     "zorder_cells",
     "heavy_hitter_terms",
+    "simhash_near_dup",
 ]
 
 

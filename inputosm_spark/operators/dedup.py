@@ -245,3 +245,70 @@ def simhash(documents: DataFrame, text_col: str = "text", bits: int = 16) -> Dat
         )
         sig = term if sig is None else sig + term
     return summed.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    max_hd: int = 3,
+    bits: int = 16,
+) -> DataFrame:
+    """EXACT SimHash near-duplicates: all doc pairs with Hamming
+    distance <= max_hd between their simhash signatures, found WITHOUT
+    the O(n^2) all-pairs scan.
+
+    Pigeonhole pruning: the signature splits into (max_hd + 1) bands;
+    any pair within max_hd differing bits leaves >= 1 band UNTOUCHED,
+    so a banded self-equi-join on (band, band_value) is a guaranteed
+    SUPERSET of the answer — candidates then verify with the exact
+    integer popcount bit_count(sig_a XOR sig_b). Result is exact, so
+    the oracle can replay it as the brute-force all-pairs filter (fine
+    at oracle scale; the banded plan is what runs at corpus scale).
+
+    Signature table feeds the band explode and both verify sides —
+    cached (no cross-branch subplan sharing).
+    """
+    n_bands = max_hd + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sigs = simhash(documents, text_col=text_col, bits=bits).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "simhash"
+    ).cache()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.shiftright("simhash", j * band_bits)
+                    .bitwiseAND(F.lit(mask)).alias("band_val"),
+                )
+                for j in range(n_bands)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "hd",
+            F.bit_count(F.expr("sig_a ^ sig_b")).cast("long"),
+        )
+        .filter(F.col("hd") <= max_hd)
+        .select("doc_a", "doc_b", "hd")
+    )

@@ -2834,3 +2834,43 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore the oracle, a plain GROUP BY ... HAVING cnt*64 > N — is
     exact integer arithmetic."""
     return textstats.heavy_hitters(_t(spark, sf_dir, "documents"), m=64)
+
+
+@register(
+    "simhash_near_dup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, tok
+      FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents)
+    ), per_bit AS (
+      SELECT doc_id, bit,
+             CASE WHEN ({_HEXMAP_SQL} // (CASE bit % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                                          WHEN 2 THEN 4 ELSE 8 END)) % 2 = 1
+                  THEN 1 ELSE -1 END AS sign
+      FROM toks, unnest(range(0, 48)) AS t(bit)
+    ), sums AS (
+      SELECT doc_id, bit, sum(sign) AS s FROM per_bit GROUP BY 1, 2
+    ), sigs AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM sums GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hd
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (Hamming distance <= 3) via
+    pigeonhole band pruning + exact popcount verify
+    (operators/dedup.simhash_near_dup_pairs). The ENGINE never scans
+    all pairs — the banded self-join is a provable superset — while the
+    ORACLE brute-forces all pairs, independently confirming the pruning
+    loses nothing."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return dedup.simhash_near_dup_pairs(docs, max_hd=3, bits=48)
