@@ -93,6 +93,8 @@ HEADLINE = [
     "zorder_cells",
     "heavy_hitter_terms",
     "simhash_near_dup",
+    "contamination_overlap",
+    "repetition_score",
 ]
 
 

@@ -312,3 +312,39 @@ def simhash_near_dup_pairs(
         .filter(F.col("hd") <= max_hd)
         .select("doc_a", "doc_b", "hd")
     )
+
+
+def contamination_overlap(
+    documents: DataFrame,
+    test_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: per training document, the number of
+    distinct word n-grams it shares with a held-out test corpus
+    (n_hits), plus the contaminated flag — the standard pre-training
+    hygiene pass.
+
+    100 TB shape: test corpora are tiny next to training corpora, so
+    the DISTINCT test shingle set BROADCASTS and the training side
+    streams through one shingle explode + broadcast hash join +
+    map-side-combinable groupBy(doc_id) — the training corpus is never
+    shuffled on the shingle key.
+    """
+    train_sh = word_shingles(documents, text_col, n)
+    test_sh = word_shingles(test_docs, text_col, n).select("shingle").distinct()
+    hits = (
+        train_sh.join(F.broadcast(test_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.when(F.coalesce("n_hits", F.lit(0)) > 0, 1)
+            .otherwise(0).cast("int").alias("contaminated"),
+        )
+    )

@@ -343,3 +343,28 @@ def heavy_hitters(documents: DataFrame, text_col: str = "text",
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") * cap > F.lit(total))
     )
+
+
+def repetition_score(documents: DataFrame, text_col: str = "text",
+                     n: int = 3) -> DataFrame:
+    """Intra-document repetition: 1 - (distinct word n-grams / total
+    word n-grams) — the boilerplate/looping-text quality signal
+    (Gopher-style repetition filters). PURE per-row column math:
+    split -> sliding slices -> array_distinct — no shuffle, no UDF,
+    scales as a map-only pass."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+    n_total = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return documents.select(
+        "doc_id",
+        n_total.cast("long").alias("n_grams"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.round(F.lit(1.0) - n_distinct / n_total, 4).alias("rep_ratio"),
+    )

@@ -2874,3 +2874,75 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     return dedup.simhash_near_dup_pairs(docs, max_hd=3, bits=48)
+
+
+@register(
+    "contamination_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, source, shingle FROM (
+        SELECT doc_id, source,
+               CASE WHEN len(w) >= 3
+                    THEN array_to_string(w[i + 1 : i + 3], ' ')
+                    ELSE array_to_string(w, ' ') END AS shingle
+        FROM (SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS w
+              FROM documents),
+             unnest(range(0, greatest(len(w) - 2, 1))) AS t(i)
+      )
+    ),
+    test_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE source IN ('src0', 'src1')
+    ),
+    hits AS (
+      SELECT s.doc_id, count(*) AS n_hits
+      FROM sh s JOIN test_sh USING (shingle)
+      WHERE s.source NOT IN ('src0', 'src1')
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+                AS INT) AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.source NOT IN ('src0', 'src1')
+    """,
+)
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: per candidate training document, how
+    many distinct word 3-grams it shares with the held-out test corpus
+    (sources src0/src1 stand in for the benchmark set). The test
+    shingle set broadcasts; the training corpus is never shuffled on
+    the shingle key (operators/dedup.contamination_overlap)."""
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.filter(F.col("source").isin("src0", "src1"))
+    train = docs.filter(~F.col("source").isin("src0", "src1"))
+    return dedup.contamination_overlap(train, test)
+
+
+@register(
+    "repetition_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+           round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 4)
+             AS rep_ratio
+    FROM (
+      SELECT doc_id, list(
+               CASE WHEN len(w) >= 3
+                    THEN array_to_string(w[i + 1 : i + 3], ' ')
+                    ELSE array_to_string(w, ' ') END) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents),
+           unnest(range(0, greatest(len(w) - 2, 1))) AS t(i)
+      GROUP BY doc_id
+    )
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio (Gopher-style boilerplate
+    signal): 1 - distinct/total word 3-grams, computed entirely as
+    per-row array expressions — a map-only pass with no shuffle
+    (operators/textstats.repetition_score)."""
+    return textstats.repetition_score(_t(spark, sf_dir, "documents"))

@@ -67,6 +67,11 @@ CHECKS: dict[str, list[str]] = {
     # skew-safe as-of: every EVENT-row window partitions on
     # (key, time-bucket), never the key alone (see ANTI_CHECKS)
     "asof_user_state": [r"windowspecdefinition\(__k#\d+L?, __bck"],
+    # decontamination: the test shingle set must BROADCAST — the
+    # training corpus is never shuffled on the shingle key
+    "contamination_overlap": [r"BroadcastHashJoin"],
+    # repetition is a map-only pass: project over the scan, no shuffle
+    "repetition_score": [r"ReadSchema: struct<doc_id:bigint,text:string>"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
@@ -85,6 +90,10 @@ ANTI_CHECKS: dict[str, list[str]] = {
     # a window over EVENT rows partitioned by the key alone would
     # re-serialize a hot key onto one reducer
     "asof_user_state": [r"windowspecdefinition\(__k#\d+L?, __ts"],
+    # map-only means NO exchange of any kind in the plan
+    "repetition_score": [r"Exchange"],
+    # the training side must not sort-merge on the shingle key
+    "contamination_overlap": [r"SortMergeJoin"],
 }
 
 
