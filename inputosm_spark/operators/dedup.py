@@ -265,17 +265,23 @@ def simhash_near_dup_pairs(
     the oracle can replay it as the brute-force all-pairs filter (fine
     at oracle scale; the banded plan is what runs at corpus scale).
 
-    Signature table feeds the band explode and both verify sides —
-    cached (no cross-branch subplan sharing).
+    The band rows CARRY their signature into the self-join, so the
+    pair verdict is a pure column expression on the joined row — no
+    second/third join back to the signature table. The band table
+    feeds both join sides and is cached (no cross-branch subplan
+    sharing), same as lsh_candidate_pairs' bucket table.
     """
     n_bands = max_hd + 1
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     sigs = simhash(documents, text_col=text_col, bits=bits).select(
         F.col("doc_id").cast("long").alias("doc_id"), "simhash"
-    ).cache()
+    )
+    # the bands CARRY their signature, so the banded join verifies
+    # in-place — no second and third join back to the signature table
     bands = sigs.select(
         "doc_id",
+        "simhash",
         F.explode(
             F.array(*[
                 F.struct(
@@ -286,31 +292,24 @@ def simhash_near_dup_pairs(
                 for j in range(n_bands)
             ])
         ).alias("bv"),
-    ).select("doc_id", "bv.band", "bv.band_val")
+    ).select("doc_id", "simhash", "bv.band", "bv.band_val").cache()
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"),
-                     F.col("simhash").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"),
-                     F.col("simhash").alias("sig_b"))
-    return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn(
-            "hd",
-            F.bit_count(F.expr("sig_a ^ sig_b")).cast("long"),
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.expr("a.simhash ^ b.simhash")
+            ).cast("long").alias("hd"),
         )
         .filter(F.col("hd") <= max_hd)
-        .select("doc_a", "doc_b", "hd")
+        .distinct()
     )
 
 
