@@ -393,3 +393,68 @@ def run_hot_cell_stream(events: DataFrame, checkpoint_path: str, out_path: str):
     )
     q.awaitTermination()
     return q
+
+
+def _osc_merge_batch(state_path: str):
+    """foreachBatch body for OSC replication: resolve the micro-batch
+    to its last op per (kind, id) — ordered by (source_file, seq), the
+    replication-sequence file order — then upsert/delete into the
+    entity state table. Idempotent: replaying a micro-batch converges
+    to the same state."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch.sparkSession
+        w = Window.partitionBy("kind", "id").orderBy(
+            F.desc("source_file"), F.desc("seq")
+        )
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            current = spark.read.parquet(state_path)
+        except Exception:
+            current = None
+        upserts = latest.filter(F.col("op") != "delete").drop(
+            "op", "seq", "source_file"
+        )
+        touched = latest.select("kind", "id")
+        if current is not None:
+            merged = current.join(
+                touched, ["kind", "id"], "left_anti"
+            ).unionByName(upserts)
+        else:
+            merged = upserts
+        # localCheckpoint before overwriting the path we just read
+        # (same rationale as _merge_batch above)
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_path)
+
+    return apply
+
+
+def stream_osc_replication(
+    spark, landing_dir: str, state_path: str, checkpoint_path: str
+):
+    """END-TO-END OSC REPLICATION: change files land in a directory
+    (e.g. fetched by sources/replication.py from the header's
+    replication sequence), the streaming source parses them
+    (osmxml.read_osc_stream), and each micro-batch upserts into the
+    entity state table with last-op-in-file-order-wins semantics — the
+    reference's sequential OSC replay, continuous and restartable
+    (checkpointed file-stream progress). availableNow drain; callers
+    read `state_path` for the materialized current state."""
+    from inputosm_spark.sources import osmxml
+
+    src = osmxml.read_osc_stream(spark, landing_dir)
+    q = (
+        src.writeStream.foreachBatch(_osc_merge_batch(state_path))
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -246,3 +246,53 @@ def test_streaming_exact_dedup_matches_batch_keep_first(spark, sf_dir, tmp_path)
     assert got.count() == expected.count()
     assert got.exceptAll(expected).isEmpty()
     assert expected.exceptAll(got).isEmpty()
+
+
+def test_stream_osc_replication_end_to_end(spark, tmp_path):
+    """Change files land -> streamed parse -> last-op-wins state table:
+    file2 modifies node 100 and deletes way 200, so the final state has
+    the v2 node and no way."""
+    from inputosm_spark.streaming import events as stream_ops
+
+    osc1 = """<?xml version="1.0" encoding="UTF-8"?>
+<osmChange version="0.6">
+  <create>
+    <node id="100" lat="1.0" lon="2.0" version="1"
+          timestamp="2021-01-01T00:00:00Z" changeset="1">
+      <tag k="name" v="v1"/>
+    </node>
+    <way id="200" version="1" timestamp="2021-01-01T00:00:00Z"
+         changeset="1"><nd ref="100"/></way>
+  </create>
+</osmChange>
+"""
+    osc2 = """<?xml version="1.0" encoding="UTF-8"?>
+<osmChange version="0.6">
+  <modify>
+    <node id="100" lat="1.5" lon="2.5" version="2"
+          timestamp="2021-01-02T00:00:00Z" changeset="2">
+      <tag k="name" v="v2"/>
+    </node>
+  </modify>
+  <delete>
+    <way id="200" version="2" timestamp="2021-01-02T00:00:00Z"
+         changeset="2"/>
+  </delete>
+</osmChange>
+"""
+    landing = tmp_path / "repl_landing"
+    landing.mkdir()
+    # file names carry the replication sequence -> lexicographic order
+    (landing / "000001.osc").write_text(osc1)
+    (landing / "000002.osc").write_text(osc2)
+
+    state = str(tmp_path / "repl_state")
+    stream_ops.stream_osc_replication(
+        spark, str(landing), state, str(tmp_path / "repl_ckpt")
+    )
+    got = spark.read.parquet(state)
+    rows = {(r.kind, r.id): r for r in got.collect()}
+    assert set(rows) == {("node", 100)}
+    n = rows[("node", 100)]
+    assert n.version == 2 and n.tags == {"name": "v2"}
+    assert n.raw_lat == 15_000_000 and n.raw_lon == 25_000_000
