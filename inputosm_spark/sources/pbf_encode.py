@@ -14,11 +14,11 @@ every PACKED payload — ids, coords, timestamps, changesets, versions,
 way refs, member ids/types, the dense keys_vals stream — is produced
 by numpy passes over whole arrays (`encode_varints` is <=10 masked
 passes, exactly mirroring `decode_varints`); string tables are built
-with one `pd.factorize` over the flattened Arrow buffers. Only message
-ENVELOPES (a handful of length-prefixed field headers per entity for
-ways/relations, per BLOCK for dense nodes) are plain Python — bounded
-by the 8k-entities-per-block convention and a tiny constant, while the
-payload bytes never touch Python per value.
+with one `pd.factorize` over the flattened Arrow buffers; way/relation
+message ENVELOPES are scatter-assembled by `_interleave` (a constant
+number of numpy passes per message type — zero per-entity Python).
+Only per-BLOCK framing (a handful of field headers per 8k-entity
+block) is plain Python.
 """
 
 from __future__ import annotations
@@ -194,25 +194,68 @@ def dense_nodes_group(st: _StringTable, pdf: pd.DataFrame,
     return _lenf(2, dense)  # PrimitiveGroup.dense
 
 
-def _slices(flat: bytes, lens_bytes: np.ndarray,
-            counts: np.ndarray) -> list[bytes]:
-    """Cut one flat varint encode into per-entity payloads: entity i
-    owns counts[i] values whose byte lengths are consecutive in
-    lens_bytes."""
-    ends_vals = np.cumsum(counts)
-    byte_ends = np.concatenate(([0], np.cumsum(lens_bytes)))
-    starts = byte_ends[np.concatenate(([0], ends_vals[:-1]))]
-    ends = byte_ends[ends_vals]
-    return [flat[int(s):int(e)] for s, e in zip(starts, ends)]
+def _seg_bytes(value_lens: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-entity BYTE length of a flat varint encode: entity i owns
+    counts[i] consecutive values whose byte lengths are value_lens."""
+    cs = np.concatenate(([0], np.cumsum(value_lens)))
+    ends = np.cumsum(counts)
+    starts = np.concatenate(([0], ends[:-1]))
+    return cs[ends] - cs[starts]
 
 
-def _tag_sid_slices(st: _StringTable, tags: pa.Array,
-                    n: int) -> tuple[list[bytes], list[bytes]]:
+def _interleave(
+    pieces: list[tuple[np.ndarray, np.ndarray]], n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """SCATTER-ASSEMBLE n messages from ordered per-entity pieces —
+    the fully vectorized envelope builder (no per-entity Python).
+
+    Each piece is (flat_bytes, per_entity_byte_lens): the flat buffer
+    holds every entity's fragment of that piece, contiguous in entity
+    order. The output places entity i's pieces back to back:
+    msg_i = piece0_i piece1_i ... . One numpy scatter per PIECE (a
+    handful per message type), regardless of entity count.
+    """
+    lens_mat = np.stack([lens for _, lens in pieces])  # (p, n)
+    out_lens = lens_mat.sum(axis=0)
+    entity_starts = np.concatenate(([0], np.cumsum(out_lens)))[:-1]
+    within = np.concatenate(
+        (np.zeros((1, n), dtype=np.int64), np.cumsum(lens_mat, axis=0)[:-1])
+    )
+    out = np.empty(int(out_lens.sum()), dtype=np.uint8)
+    for p, (buf, lens) in enumerate(pieces):
+        dst_start = entity_starts + within[p]
+        src_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        idx = np.repeat(dst_start - src_starts, lens) + np.arange(
+            len(buf), dtype=np.int64
+        )
+        out[idx] = buf
+    return out, out_lens
+
+
+def _const_piece(byte: int, n: int) -> tuple[np.ndarray, np.ndarray]:
+    return np.full(n, byte, dtype=np.uint8), np.ones(n, dtype=np.int64)
+
+
+def _lp(buf: np.ndarray, lens: np.ndarray) -> list:
+    """[varint(len_i)] [payload_i] piece pair (length-delimited field
+    body, after its constant key byte)."""
+    lb, lblens = encode_varints(lens)
+    return [(np.frombuffer(lb, dtype=np.uint8), lblens), (buf, lens)]
+
+
+def _vp(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    buf, lens = encode_varints(vals)
+    return np.frombuffer(buf, dtype=np.uint8), lens
+
+
+def _tag_sid_flats(st: _StringTable, tags: pa.Array):
+    """(key_buf, key_bytes_per_entity, val_buf, val_bytes_per_entity)
+    from one flat encode of all tag sids in entity order."""
     offsets, keys, vals = _map_arrays(tags)
     npairs = np.diff(offsets)
-    kflat, klens = encode_varints(st.codes(keys).astype(np.uint64))
-    vflat, vlens = encode_varints(st.codes(vals).astype(np.uint64))
-    return _slices(kflat, klens, npairs), _slices(vflat, vlens, npairs)
+    kbuf, klens = _vp(st.codes(keys).astype(np.uint64))
+    vbuf, vlens = _vp(st.codes(vals).astype(np.uint64))
+    return kbuf, _seg_bytes(klens, npairs), vbuf, _seg_bytes(vlens, npairs)
 
 
 def _delta_reset(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -224,33 +267,56 @@ def _delta_reset(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return d
 
 
-def ways_group_msgs(st: _StringTable, pdf: pd.DataFrame,
-                    tags: pa.Array, refs: pa.Array) -> list[bytes]:
-    """Way messages: packed payloads from ONE flat vectorized encode
-    per field, sliced per way; only the envelope join is per-entity."""
+def _info_pieces(pdf: pd.DataFrame, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Info submessages (version/timestamp/changeset varints, each with
+    its constant key byte) for all entities as one flat buffer.
+    Non-negative contract (as with the reference's parse side —
+    pre-1970 timestamps are clamped to 0 by _info_arrays' fillna)."""
+    ver, ts_s, cs = _info_arrays(pdf)
+    vb, vl = _vp(ver)
+    tb, tl = _vp(np.maximum(ts_s, 0))
+    cb, cl = _vp(np.maximum(cs, 0))
+    return _interleave(
+        [_const_piece(0x08, n), (vb, vl),
+         _const_piece(0x10, n), (tb, tl),
+         _const_piece(0x18, n), (cb, cl)],
+        n,
+    )
+
+
+def ways_group(st: _StringTable, pdf: pd.DataFrame,
+               tags: pa.Array, refs: pa.Array) -> bytes:
+    """PrimitiveGroup.ways — FULLY vectorized: packed payloads from one
+    flat encode per field, envelopes scatter-assembled by _interleave
+    (a constant number of numpy passes, zero per-way Python)."""
     n = len(pdf)
     if isinstance(refs, pa.ChunkedArray):
         refs = refs.combine_chunks()
     r_off = refs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     r_flat = refs.values.to_numpy(zero_copy_only=False).astype(np.int64)
     nrefs = np.diff(r_off)
-    rflat, rlens = encode_varints(zigzag(_delta_reset(r_flat, r_off)))
-    ref_payloads = _slices(rflat, rlens, nrefs)
-    kp, vp = _tag_sid_slices(st, tags, n)
-    ver, ts_s, cs = _info_arrays(pdf)
-    ids = pdf["id"].to_numpy(dtype=np.int64)
-    return [
-        _varf(1, int(ids[i]))
-        + _lenf(2, kp[i]) + _lenf(3, vp[i])
-        + _lenf(4, _varf(1, int(ver[i])) + _varf(2, int(ts_s[i]))
-                + _varf(3, int(cs[i])))
-        + _lenf(8, ref_payloads[i])
-        for i in range(n)
-    ]
+    rbuf, rlens = _vp(zigzag(_delta_reset(r_flat, r_off)))
+    ref_bytes = _seg_bytes(rlens, nrefs)
+    kbuf, kb, vbuf, vb_ = _tag_sid_flats(st, tags)
+    ibuf, ilens = _info_pieces(pdf, n)
+    idbuf, idlens = _vp(pdf["id"].to_numpy(dtype=np.int64))
+    msgs, msg_lens = _interleave(
+        [_const_piece(0x08, n), (idbuf, idlens),
+         _const_piece(0x12, n), *_lp(kbuf, kb),
+         _const_piece(0x1A, n), *_lp(vbuf, vb_),
+         _const_piece(0x22, n), *_lp(ibuf, ilens),
+         _const_piece(0x42, n), *_lp(rbuf, ref_bytes)],
+        n,
+    )
+    group, _ = _interleave(
+        [_const_piece(0x1A, n), *_lp(msgs, msg_lens)], n
+    )  # PrimitiveGroup field 3 = ways
+    return group.tobytes()
 
 
-def relations_group_msgs(st: _StringTable, pdf: pd.DataFrame,
-                         tags: pa.Array, members: pa.Array) -> list[bytes]:
+def relations_group(st: _StringTable, pdf: pd.DataFrame,
+                    tags: pa.Array, members: pa.Array) -> bytes:
+    """PrimitiveGroup.relations — same scatter-assembled shape."""
     n = len(pdf)
     if isinstance(members, pa.ChunkedArray):
         members = members.combine_chunks()
@@ -260,23 +326,29 @@ def relations_group_msgs(st: _StringTable, pdf: pd.DataFrame,
     types = flat.field("type").to_numpy(zero_copy_only=False).astype(np.int64)
     refs = flat.field("ref").to_numpy(zero_copy_only=False).astype(np.int64)
     roles = np.asarray(flat.field("role").to_pylist(), dtype=object)
-    rflat, rlens = encode_varints(st.codes(roles).astype(np.uint64))
-    role_p = _slices(rflat, rlens, nmem)
-    mflat, mlens = encode_varints(zigzag(_delta_reset(refs, m_off)))
-    mem_p = _slices(mflat, mlens, nmem)
-    tflat, tlens = encode_varints(types)
-    typ_p = _slices(tflat, tlens, nmem)
-    kp, vp = _tag_sid_slices(st, tags, n)
-    ver, ts_s, cs = _info_arrays(pdf)
-    ids = pdf["id"].to_numpy(dtype=np.int64)
-    return [
-        _varf(1, int(ids[i]))
-        + _lenf(2, kp[i]) + _lenf(3, vp[i])
-        + _lenf(4, _varf(1, int(ver[i])) + _varf(2, int(ts_s[i]))
-                + _varf(3, int(cs[i])))
-        + _lenf(8, role_p[i]) + _lenf(9, mem_p[i]) + _lenf(10, typ_p[i])
-        for i in range(n)
-    ]
+    robuf, rolens = _vp(st.codes(roles).astype(np.uint64))
+    role_bytes = _seg_bytes(rolens, nmem)
+    mbuf, mlens = _vp(zigzag(_delta_reset(refs, m_off)))
+    mem_bytes = _seg_bytes(mlens, nmem)
+    tbuf, tlens = _vp(types)
+    typ_bytes = _seg_bytes(tlens, nmem)
+    kbuf, kb, vbuf, vb_ = _tag_sid_flats(st, tags)
+    ibuf, ilens = _info_pieces(pdf, n)
+    idbuf, idlens = _vp(pdf["id"].to_numpy(dtype=np.int64))
+    msgs, msg_lens = _interleave(
+        [_const_piece(0x08, n), (idbuf, idlens),
+         _const_piece(0x12, n), *_lp(kbuf, kb),
+         _const_piece(0x1A, n), *_lp(vbuf, vb_),
+         _const_piece(0x22, n), *_lp(ibuf, ilens),
+         _const_piece(0x42, n), *_lp(robuf, role_bytes),
+         _const_piece(0x4A, n), *_lp(mbuf, mem_bytes),
+         _const_piece(0x52, n), *_lp(tbuf, typ_bytes)],
+        n,
+    )
+    group, _ = _interleave(
+        [_const_piece(0x22, n), *_lp(msgs, msg_lens)], n
+    )  # PrimitiveGroup field 4 = relations
+    return group.tobytes()
 
 
 # --- block / blob / file assembly -------------------------------------------
@@ -311,8 +383,8 @@ def _batch_blocks(batch: pa.RecordBatch) -> Iterator[bytes]:
     kinds = pdf["kind"].to_numpy()
     for kind, builder, nested_col in (
         ("node", None, None),
-        ("way", ways_group_msgs, "node_refs"),
-        ("relation", relations_group_msgs, "members"),
+        ("way", ways_group, "node_refs"),
+        ("relation", relations_group, "members"),
     ):
         idx = np.nonzero(kinds == kind)[0]
         for lo in range(0, len(idx), ENTITIES_PER_BLOCK):
@@ -327,9 +399,7 @@ def _batch_blocks(batch: pa.RecordBatch) -> Iterator[bytes]:
                     tbl.column(nested_col).combine_chunks()
                     .take(pa.array(take))
                 )
-                fno = 3 if kind == "way" else 4
-                msgs = builder(st, sub, tags, nested)
-                groups = [b"".join(_lenf(fno, m) for m in msgs)]
+                groups = [builder(st, sub, tags, nested)]
             yield _block(groups, st)
 
 
