@@ -95,6 +95,7 @@ HEADLINE = [
     "simhash_near_dup",
     "contamination_overlap",
     "repetition_score",
+    "token_shards",
 ]
 
 

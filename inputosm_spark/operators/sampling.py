@@ -80,3 +80,65 @@ def stratified_sample(
         expr = F.when(*branch) if expr is None else expr.when(*branch)
     rate_col = expr.otherwise(F.lit(0))
     return df.filter(b < rate_col)
+
+
+def token_shards(
+    documents: DataFrame,
+    budget: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket: int = 1024,
+) -> DataFrame:
+    """Deterministic TOKEN-BUDGET SHARDING: documents in id order are
+    cut into contiguous shards of ~`budget` tokens each — the
+    deterministic precursor to training-sequence packing (every engine
+    and every rerun produces the same shard for the same doc).
+
+    shard(doc) = (cumulative tokens BEFORE doc, in id order) // budget.
+
+    A naive global cumsum is a single-reducer window; this runs the
+    same TWO-PASS CARRY as the skew-safe as-of join: a window per
+    (id // bucket) range, a tiny one-row-per-bucket summary whose own
+    window computes each bucket's carry-in offset, joined back — the
+    corpus is never serialized through one task.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda w: F.length(w) > 0,
+        )
+    ).cast("long")
+    base = documents.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        F.floor(F.col(id_col) / bucket).cast("long").alias("__bck"),
+    )
+    win = (
+        Window.partitionBy("__bck")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("__cum", F.sum("n_tokens").over(win))
+    summary = base.groupBy("__bck").agg(F.sum("n_tokens").alias("__bsum"))
+    wprev = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__bck")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = summary.select(
+        F.col("__bck").alias("__sbck"),
+        F.coalesce(F.sum("__bsum").over(wprev), F.lit(0)).alias("__off"),
+    )
+    return (
+        within.join(offsets, F.col("__bck") == F.col("__sbck"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(
+                (F.col("__off") + F.col("__cum") - F.col("n_tokens"))
+                / budget
+            ).cast("long").alias("shard"),
+        )
+    )

@@ -2946,3 +2946,34 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row array expressions — a map-only pass with no shuffle
     (operators/textstats.repetition_score)."""
     return textstats.repetition_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_shards",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               w -> length(w) > 0)) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // 512 AS BIGINT) AS shard
+    FROM t
+    """,
+)
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget sharding (training-sequence packing
+    precursor): contiguous ~512-token shards in doc_id order, computed
+    with the two-pass bucketed carry (operators/sampling.token_shards)
+    — the ORACLE uses the naive global cumsum window, proving the
+    distributed two-pass formulation computes the identical function
+    without ever serializing the corpus through one reducer."""
+    from inputosm_spark.operators import sampling
+
+    return sampling.token_shards(
+        _t(spark, sf_dir, "documents"), budget=512
+    )

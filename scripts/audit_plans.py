@@ -72,6 +72,8 @@ CHECKS: dict[str, list[str]] = {
     "contamination_overlap": [r"BroadcastHashJoin"],
     # repetition is a map-only pass: project over the scan, no shuffle
     "repetition_score": [r"ReadSchema: struct<doc_id:bigint,text:string>"],
+    # the doc-row cumsum window must partition on the id-range bucket
+    "token_shards": [r"windowspecdefinition\(__bck#\d+L, doc_id"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
@@ -94,6 +96,10 @@ ANTI_CHECKS: dict[str, list[str]] = {
     "repetition_score": [r"Exchange"],
     # the training side must not sort-merge on the shingle key
     "contamination_overlap": [r"SortMergeJoin"],
+    # a partition-less window over the DOC rows = global single-reducer
+    # cumsum (the summary window partitions on lit(0), which formats as
+    # windowspecdefinition(0, ...) — not matched here)
+    "token_shards": [r"windowspecdefinition\(doc_id#\d+L ASC"],
 }
 
 
