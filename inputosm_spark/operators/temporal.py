@@ -284,13 +284,23 @@ def interval_join(
     start_col: str = "start_ts",
     end_col: str = "end_ts",
     bucket_s: int = 3600,
+    n_salt: int = 1,
 ) -> DataFrame:
     """Point-in-interval join ([start, end) half-open): intervals are
     exploded onto a fixed time grid, points bucketed to the same grid,
     and the join runs as a (key, bucket) EQUI-join before the exact
     range filter — never an inequality join. Cost scales with
     interval-length/bucket_s replication of the (small) interval side,
-    exactly like pip_join's polygon cell covering."""
+    exactly like pip_join's polygon cell covering.
+
+    SKEW (`n_salt` > 1): a hot (key, bucket) — every point of the day
+    landing in one hour of one group — serializes that bucket's join
+    on one task. Salting spreads it: points get a POSITION-derived
+    salt (content-independent, so exact-duplicate hot rows still
+    scatter), the already-replicated interval side fans out to every
+    salt, and the join key becomes (key, bucket, salt). Each point
+    still meets each interval exactly once — results are identical
+    (the oracle-gated query runs salted)."""
     def _epoch(c) -> F.Column:
         # TIMESTAMP_NTZ has no direct numeric cast; hop through
         # TIMESTAMP (session TZ is pinned UTC, so values are identical)
@@ -316,8 +326,19 @@ def interval_join(
             )
         ),
     )
-    joined = p.join(i, [key, "__b"]).filter(
+    join_keys = [key, "__b"]
+    if n_salt > 1:
+        p = p.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                   F.lit(n_salt)),
+        )
+        i = i.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        join_keys.append("__salt")
+    joined = p.join(i, join_keys).filter(
         (F.col(point_ts) >= F.col(start_col))
         & (F.col(point_ts) < F.col(end_col))
     )
-    return joined.drop("__b")
+    return joined.drop("__b", "__salt") if n_salt > 1 else joined.drop("__b")

@@ -1853,7 +1853,8 @@ def q_interval_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d").cast("timestamp") + F.expr("INTERVAL 5 HOURS"))
         .alias("end_ts"),
     )
-    out = temporal.interval_join(pts, ivals, key="grp", bucket_s=3600)
+    out = temporal.interval_join(pts, ivals, key="grp", bucket_s=3600,
+                                 n_salt=8)
     return out.select(
         "event_id", "grp",
         F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("win_start"),

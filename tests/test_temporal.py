@@ -219,3 +219,26 @@ def test_asof_bucketed_plan_has_no_key_only_event_window(spark):
     assert wins, "expected window specs in plan"
     for w in re.findall(r"Window \[.*?windowspecdefinition\((.*?), __ts", plan):
         assert "__bck" in w, f"event window partitions on key alone: {w}"
+
+
+def test_interval_join_salted_equals_unsalted(spark):
+    """Salting must be result-invariant, including on a hot (key,
+    bucket) with EXACT-DUPLICATE point rows (the case a content-derived
+    salt would fail to spread — and a wrong fan-out would duplicate)."""
+    base = dt.datetime(2024, 1, 1, 3, 0, 0)
+    pts = spark.createDataFrame(
+        [(i % 50, 1, base + dt.timedelta(seconds=(i % 7) * 60))
+         for i in range(2000)],  # many duplicates, one hot hour
+        "event_id long, grp long, ts timestamp",
+    )
+    ivals = spark.createDataFrame(
+        [(1, _ts("2024-01-01 02:30:00"), _ts("2024-01-01 03:30:00")),
+         (1, _ts("2024-01-01 03:05:00"), _ts("2024-01-01 03:06:00")),
+         (2, _ts("2024-01-01 03:00:00"), _ts("2024-01-01 04:00:00"))],
+        "grp long, start_ts timestamp, end_ts timestamp",
+    )
+    want = sorted(map(tuple, temporal.interval_join(
+        pts, ivals, key="grp").collect()), key=repr)
+    got = sorted(map(tuple, temporal.interval_join(
+        pts, ivals, key="grp", n_salt=16).collect()), key=repr)
+    assert got == want and len(want) > 0
