@@ -96,6 +96,7 @@ HEADLINE = [
     "contamination_overlap",
     "repetition_score",
     "token_shards",
+    "funnel_stages",
 ]
 
 

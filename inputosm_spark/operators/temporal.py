@@ -342,3 +342,77 @@ def interval_join(
         & (F.col(point_ts) < F.col(end_col))
     )
     return joined.drop("__b", "__salt") if n_salt > 1 else joined.drop("__b")
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered FUNNEL analysis: per key, how far through the step
+    sequence (step[0] -> step[1] -> ...) the event history progresses,
+    plus the timestamp each stage was first reached.
+
+    Semantics: stage i+1 is reached by the EARLIEST step[i+1] event at
+    or after the stage-i timestamp (ties at the same timestamp count —
+    equal-ts events process in step order). Equivalent to the chained
+    "min ts >= previous" SQL formulation, which is the oracle twin.
+
+    100 TB shape: ONE groupBy(key) shuffle — events collect into a
+    sorted per-key array and a pure-Catalyst F.aggregate state machine
+    walks it (no join per stage, no window, no Python). The naive
+    twin is len(steps) aggregate+join rounds over the full event table.
+    Per-key event history must fit a task (the same contract as
+    sessionization); pre-filter to the funnel's event types keeps it
+    small.
+    """
+    prio = F.lit(None)
+    mapping = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    prio = mapping[F.col(type_col)]
+    ev = events.filter(F.col(type_col).isin(steps)).select(
+        F.col(key).alias("__k"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            prio.cast("int").alias("prio"),
+        ).alias("__e"),
+    )
+    arr = F.array_sort(F.collect_list("__e"))
+    n = len(steps)
+    # state: (stage, t_0..t_{n-1}); an event advances the state iff its
+    # prio equals the current stage
+    zero = F.struct(
+        F.lit(0).alias("stage"),
+        *[F.lit(None).cast("timestamp").alias(f"t{i}") for i in range(n)],
+    )
+
+    def step_fn(acc, e):
+        advance = e.prio == acc.stage
+        return F.struct(
+            F.when(advance, acc.stage + 1).otherwise(acc.stage).alias("stage"),
+            *[
+                F.when(advance & (F.lit(i) == acc.stage), e.ts)
+                .otherwise(acc[f"t{i}"]).alias(f"t{i}")
+                for i in range(n)
+            ],
+        )
+
+    walked = ev.groupBy("__k").agg(
+        F.aggregate(arr, zero, step_fn).alias("__f")
+    )
+    all_keys = events.select(F.col(key).alias("__k")).distinct()
+    return (
+        all_keys.join(walked, "__k", "left")
+        .select(
+            F.col("__k").alias(key),
+            F.coalesce(F.col("__f.stage"), F.lit(0)).alias("stage"),
+            *[
+                F.date_format(f"__f.t{i}", "yyyy-MM-dd HH:mm:ss")
+                .alias(f"t_{s}")
+                for i, s in enumerate(steps)
+            ],
+        )
+    )

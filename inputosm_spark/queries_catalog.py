@@ -2978,3 +2978,48 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_shards(
         _t(spark, sf_dir, "documents"), budget=512
     )
+
+
+@register(
+    "funnel_stages",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase')
+    ),
+    s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+           JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+           JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+    SELECT u.user_id,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     WHEN s1.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage,
+           strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS t_signup,
+           strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS t_click,
+           strftime(s3.t3, '%Y-%m-%d %H:%M:%S') AS t_purchase
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN s1 ON s1.user_id = u.user_id
+    LEFT JOIN s2 ON s2.user_id = u.user_id
+    LEFT JOIN s3 ON s3.user_id = u.user_id
+    """,
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup -> click -> purchase) per user: ONE
+    groupBy shuffle walking a sorted per-user event array with a
+    pure-Catalyst F.aggregate state machine
+    (operators/temporal.funnel_stages) — the oracle is the classic
+    chained min-ts-after-previous-stage CTE ladder, an independent
+    formulation of the same function (len(steps) aggregate+join rounds
+    vs our single pass)."""
+    from inputosm_spark.operators import temporal
+
+    return temporal.funnel_stages(
+        _t(spark, sf_dir, "events"),
+        steps=["signup", "click", "purchase"],
+    )
