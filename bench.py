@@ -97,6 +97,7 @@ HEADLINE = [
     "repetition_score",
     "token_shards",
     "funnel_stages",
+    "cohort_retention",
 ]
 
 

@@ -3023,3 +3023,39 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"),
         steps=["signup", "click", "purchase"],
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+      FROM events
+    ),
+    coh AS (SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY 1)
+    SELECT c.cohort_wk, a.wk - c.cohort_wk AS weeks_since,
+           count(*) AS n_users
+    FROM act a JOIN coh c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted per (cohort, weeks-since) cell. Distinct (user, week)
+    activity -> per-user min week -> co-partitioned join + rollup —
+    every shuffle is on user_id or the tiny (cohort, offset) pair."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.floor(
+        F.col("ts").cast("timestamp").cast("double") / 604800
+    ).cast("long")
+    act = ev.select("user_id", wk.alias("wk")).distinct()
+    coh = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        act.join(coh, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
