@@ -199,17 +199,18 @@ def main() -> int:
     # measuring 21-39 s in a hammered hour when 4.2 s reproduces in a
     # quiet one) cannot overwrite a better reproduced measurement.
     prior_path = os.path.join(REPO, "BENCH_SCALING.json")
+    prior_data: dict = {}
     if os.path.exists(prior_path) and not os.environ.get("SCALING_FRESH"):
         try:
-            prior = json.load(open(prior_path))
-            ng = prior.get("noise_guard", {})
+            prior_data = json.load(open(prior_path))
+            ng = prior_data.get("noise_guard", {})
             walls[small_n] += list(ng.get("all_walls_small", []))
             walls[big_n] += list(ng.get("all_walls_big", []))
             for n, key in ((small_n, "raw_small"), (big_n, "raw_big")):
-                if key in prior:
-                    best[n] = prior[key]
+                if key in prior_data:
+                    best[n] = prior_data[key]
         except Exception:
-            pass
+            prior_data = {}
 
     def trusted(n: int) -> bool:
         w = sorted(walls[n])
@@ -233,6 +234,28 @@ def main() -> int:
     cpu_ceiling = cpu_burn_ceiling(small_n, big_n)
     dram_ceiling = dram_triad_ceiling(small_n, big_n)
     spark_ceiling = spark_map_ceiling(small_n, big_n)
+
+    # CONTROL MEMORY (same rationale as the job walls): a ceiling is an
+    # estimate of what the box CAN do, so merge best-across-campaigns —
+    # per-level max throughput for spark_map (then recompute its
+    # efficiency), max efficiency for the ratio-only controls. Without
+    # this, one noisy control minute poisons the normalized metric
+    # (observed: spark_map 0.405 -> normalized 1.51, meaningless).
+    prior_controls = prior_data.get("controls", {})
+    cpu_ceiling = max(
+        cpu_ceiling, float(prior_controls.get("cpu_burn_efficiency", 0))
+    )
+    dram_ceiling = max(
+        dram_ceiling, float(prior_controls.get("dram_triad_efficiency", 0))
+    )
+    prior_map = prior_controls.get("spark_map_only", {})
+    for k in ("rows_per_sec_small", "rows_per_sec_big"):
+        spark_ceiling[k] = max(spark_ceiling[k], int(prior_map.get(k, 0)))
+    spark_ceiling["efficiency"] = round(
+        (spark_ceiling["rows_per_sec_big"] / spark_ceiling["rows_per_sec_small"])
+        / (big_n / small_n),
+        3,
+    )
 
     result = {
         "job": "spatial-join+tiling pipeline (scripts/scaling_job.py)",
