@@ -49,10 +49,14 @@ def exact_dups(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def word_shingles(documents: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) rows: word n-grams of normalized text.
+    """(doc_id, shingle) rows: DISTINCT word n-grams of normalized text.
 
-    Column-only: split -> transform(sequence) -> explode; distinct
-    within doc via the grouped min later (shingles are a set).
+    Column-only: split -> transform(sequence) -> array_distinct ->
+    explode. Distinctness is per-doc, so it is established MAP-SIDE by
+    array_distinct on the gram array — (doc_id, shingle) rows are
+    distinct iff grams are distinct within their doc — instead of a
+    corpus-wide .distinct() shuffle on the exploded stream (at 100 TB
+    that shuffle moved every shingle once before any consumer ran).
     """
     words = F.split(normalize_text(F.col(text_col)), " ")
     grams = F.when(
@@ -65,7 +69,9 @@ def word_shingles(documents: DataFrame, text_col: str = "text", n: int = 3) -> D
     from inputosm_spark.operators import ensure_parallelism
 
     documents = ensure_parallelism(documents)
-    return documents.select("doc_id", F.explode(grams).alias("shingle")).distinct()
+    return documents.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
 
 
 def minhash_signatures(
@@ -201,12 +207,17 @@ def _hex_digit(c) -> F.Column:
 
 
 def simhash(documents: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
-    """SimHash fingerprint over unigram tokens.
+    """SimHash fingerprint over unigram tokens, up to 64 bits wide
+    (md5's 32 hex digits supply 128 independent bits; the int64
+    signature caps the packed width at 64).
 
     Token hash bit j = bit (j%4) of the (j//4)-th md5 hex digit of the
     token — engine-neutral (md5 exists in Spark and DuckDB), unlike
     xxhash64. Signature bit j is 1 iff sum over distinct tokens of
-    (+1 / -1 by hash bit) > 0.
+    (+1 / -1 by hash bit) > 0. Bit 63 packs as long MIN_VALUE (two's
+    complement); XOR/popcount downstream are sign-agnostic, and the
+    running sum stays in-range under ANSI mode (bits 0..62 sum to at
+    most 2^63-1 before the final negative term).
 
     Scale shape: ONE md5 per token and ONE groupBy(doc_id) carrying
     `bits` small sum aggregates — the shuffle is (doc_id, 16 ints) per
@@ -217,10 +228,13 @@ def simhash(documents: DataFrame, text_col: str = "text", bits: int = 16) -> Dat
     """
     from inputosm_spark.operators import ensure_parallelism
 
+    # distinct tokens per doc, map-side (array_distinct) — no shuffle
     tokens = ensure_parallelism(documents).select(
         "doc_id",
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
-    ).distinct()
+        F.explode(
+            F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+        ).alias("tok"),
+    )
     h = F.md5("tok")
     # sign_j = +1 iff bit (j%4) of hex digit (j//4) is set — constants
     # j are literals, so each sign is a cheap codegen'd expression
@@ -238,41 +252,36 @@ def simhash(documents: DataFrame, text_col: str = "text", bits: int = 16) -> Dat
     summed = signs.groupBy("doc_id").agg(
         *[F.sum(f"b{j}").alias(f"s{j}") for j in range(bits)]
     )
+    if not 1 <= bits <= 64:
+        raise ValueError(f"simhash bits must be in [1, 64], got {bits}")
     sig = None
     for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+        # bit 63 is the int64 sign bit: its place value is -(2^63)
+        weight = (1 << j) if j < 63 else -(1 << 63)
+        term = F.when(F.col(f"s{j}") > 0, F.lit(weight).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sig = term if sig is None else sig + term
     return summed.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_near_dup_pairs(
+def simhash_band_candidates(
     documents: DataFrame,
     text_col: str = "text",
     max_hd: int = 3,
-    bits: int = 16,
+    bits: int = 64,
 ) -> DataFrame:
-    """EXACT SimHash near-duplicates: all doc pairs with Hamming
-    distance <= max_hd between their simhash signatures, found WITHOUT
-    the O(n^2) all-pairs scan.
-
-    Pigeonhole pruning: the signature splits into (max_hd + 1) bands;
-    any pair within max_hd differing bits leaves >= 1 band UNTOUCHED,
-    so a banded self-equi-join on (band, band_value) is a guaranteed
-    SUPERSET of the answer — candidates then verify with the exact
-    integer popcount bit_count(sig_a XOR sig_b). Result is exact, so
-    the oracle can replay it as the brute-force all-pairs filter (fine
-    at oracle scale; the banded plan is what runs at corpus scale).
-
-    The band rows CARRY their signature into the self-join, so the
-    pair verdict is a pure column expression on the joined row — no
-    second/third join back to the signature table. The band table
-    feeds both join sides and is cached (no cross-branch subplan
-    sharing), same as lsh_candidate_pairs' bucket table.
+    """(doc_a, doc_b, hd) candidate pairs from the pigeonhole banded
+    self-join — the UNFILTERED superset `simhash_near_dup_pairs`
+    verifies. Rows are raw join emissions (a pair colliding in two
+    bands appears twice): that is the banding quality metric — the
+    volume the join actually pays for — which the width-scaling pytest
+    measures directly.
     """
     n_bands = max_hd + 1
     band_bits = bits // n_bands
+    if band_bits < 1:
+        raise ValueError(f"bits={bits} too narrow for {n_bands} bands")
     mask = (1 << band_bits) - 1
     sigs = simhash(documents, text_col=text_col, bits=bits).select(
         F.col("doc_id").cast("long").alias("doc_id"), "simhash"
@@ -308,6 +317,46 @@ def simhash_near_dup_pairs(
                 F.expr("a.simhash ^ b.simhash")
             ).cast("long").alias("hd"),
         )
+    )
+
+
+def simhash_near_dup_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    max_hd: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """EXACT SimHash near-duplicates: all doc pairs with Hamming
+    distance <= max_hd between their simhash signatures, found WITHOUT
+    the O(n^2) all-pairs scan.
+
+    Pigeonhole pruning: the signature splits into (max_hd + 1) bands;
+    any pair within max_hd differing bits leaves >= 1 band UNTOUCHED,
+    so a banded self-equi-join on (band, band_value) is a guaranteed
+    SUPERSET of the answer — candidates then verify with the exact
+    integer popcount bit_count(sig_a XOR sig_b). Result is exact, so
+    the oracle can replay it as the brute-force all-pairs filter (fine
+    at oracle scale; the banded plan is what runs at corpus scale).
+
+    Default width is the Manku-style production config (64-bit
+    signatures, max_hd=3 -> four 16-bit bands; "Detecting
+    Near-Duplicates for Web Crawling", WWW'07): each band has 2^16
+    values, so random-text bucket sizes are ~n/65536 per band and
+    candidate volume grows ~linearly with corpus size. Narrow widths
+    (e.g. bits=16 -> 4-bit bands, 16 values) degenerate the self-join
+    toward O(n^2/16) — kept only as the brute-force-verifiable test
+    twin, never as a corpus-scale config.
+
+    The band rows CARRY their signature into the self-join, so the
+    pair verdict is a pure column expression on the joined row — no
+    second/third join back to the signature table. The band table
+    feeds both join sides and is cached (no cross-branch subplan
+    sharing), same as lsh_candidate_pairs' bucket table.
+    """
+    return (
+        simhash_band_candidates(
+            documents, text_col=text_col, max_hd=max_hd, bits=bits
+        )
         .filter(F.col("hd") <= max_hd)
         .distinct()
     )
@@ -328,7 +377,9 @@ def contamination_overlap(
     the DISTINCT test shingle set BROADCASTS and the training side
     streams through one shingle explode + broadcast hash join +
     map-side-combinable groupBy(doc_id) — the training corpus is never
-    shuffled on the shingle key.
+    shuffled on the shingle key (word_shingles dedupes per doc with
+    array_distinct BEFORE the explode, so its distinctness costs no
+    shuffle either; only the tiny test side pays a cross-doc distinct).
     """
     train_sh = word_shingles(documents, text_col, n)
     test_sh = word_shingles(test_docs, text_col, n).select("shingle").distinct()

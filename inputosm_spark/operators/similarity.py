@@ -177,7 +177,11 @@ def _gemm_pairs(qpdf: pd.DataFrame, cpdf: pd.DataFrame,
                 )
             sel = np.ones((nq, nc), dtype=bool)
             if min_cos is not None:
-                sel &= cos >= (min_cos - margin)
+                # keep non-finite cosines (zero-norm vectors): Spark's
+                # `cos >= t` treats NaN as greater-than-all and KEEPS
+                # them, so dropping here would break the strict-superset
+                # contract — downstream decides their fate, same as topk
+                sel &= (cos >= (min_cos - margin)) | ~np.isfinite(cos)
             if topk is not None and nc > topk + 1:
                 kth = np.partition(cos, nc - topk - 1, axis=1)[
                     :, nc - topk - 1

@@ -2849,13 +2849,17 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN ({_HEXMAP_SQL} // (CASE bit % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
                                           WHEN 2 THEN 4 ELSE 8 END)) % 2 = 1
                   THEN 1 ELSE -1 END AS sign
-      FROM toks, unnest(range(0, 48)) AS t(bit)
+      FROM toks, unnest(range(0, 64)) AS t(bit)
     ), sums AS (
       SELECT doc_id, bit, sum(sign) AS s FROM per_bit GROUP BY 1, 2
     ), sigs AS (
+      -- bit 63 is the int64 sign bit: place value -(2^63) (two's
+      -- complement); the hugeint sum re-narrows to BIGINT exactly
       SELECT CAST(doc_id AS BIGINT) AS doc_id,
-             CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT)
-                           ELSE 0 END) AS BIGINT) AS simhash
+             CAST(sum(CASE WHEN s <= 0 THEN 0
+                           WHEN bit = 63 THEN -9223372036854775807 - 1
+                           ELSE CAST(power(2, bit) AS BIGINT)
+                      END) AS BIGINT) AS simhash
       FROM sums GROUP BY doc_id
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2867,14 +2871,16 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs (Hamming distance <= 3) via
     pigeonhole band pruning + exact popcount verify
-    (operators/dedup.simhash_near_dup_pairs). The ENGINE never scans
-    all pairs — the banded self-join is a provable superset — while the
-    ORACLE brute-forces all pairs, independently confirming the pruning
-    loses nothing."""
+    (operators/dedup.simhash_near_dup_pairs), at the Manku production
+    width: 64-bit signatures -> four 16-bit bands, so bucket sizes and
+    candidate volume stay ~linear in corpus size. The ENGINE never
+    scans all pairs — the banded self-join is a provable superset —
+    while the ORACLE brute-forces all pairs, independently confirming
+    the pruning loses nothing."""
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    return dedup.simhash_near_dup_pairs(docs, max_hd=3, bits=48)
+    return dedup.simhash_near_dup_pairs(docs, max_hd=3, bits=64)
 
 
 @register(

@@ -426,9 +426,9 @@ def write_pbf_shards(entities: DataFrame, out_dir: str) -> list[dict]:
             f.write(_header_blob())
             for batch in it:
                 wrote = True
-                kinds = batch.column("kind").to_pylist()
-                for k in kinds:
-                    counts[k] += 1
+                # O(distinct kinds) dict updates per batch, never per row
+                for vc in pa.compute.value_counts(batch.column("kind")):
+                    counts[vc["values"].as_py()] += vc["counts"].as_py()
                 for block in _batch_blocks(batch):
                     f.write(_blob(block, "OSMData"))
         if not wrote:

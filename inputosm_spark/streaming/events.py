@@ -397,17 +397,24 @@ def run_hot_cell_stream(events: DataFrame, checkpoint_path: str, out_path: str):
 
 def _osc_merge_batch(state_path: str):
     """foreachBatch body for OSC replication: resolve the micro-batch
-    to its last op per (kind, id) — ordered by (source_file, seq), the
-    replication-sequence file order — then upsert/delete into the
-    entity state table. Idempotent: replaying a micro-batch converges
-    to the same state."""
+    to its last op per (kind, id) — ordered by the file's NUMERIC
+    replication sequence (last digit run in the filename), then the
+    in-file op position — then upsert/delete into the entity state
+    table. Numeric extraction matters: lexicographic file order would
+    sort a non-zero-padded landing zone wrong (``10.osc`` < ``9.osc``)
+    and replay stale ops as latest; plain names without digits fall
+    back to lexicographic. Idempotent: replaying a micro-batch
+    converges to the same state."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
         spark = batch.sparkSession
+        file_num = F.nullif(
+            F.regexp_extract("source_file", r"(\d+)[^\d]*$", 1), F.lit("")
+        ).cast("long")
         w = Window.partitionBy("kind", "id").orderBy(
-            F.desc("source_file"), F.desc("seq")
+            F.desc_nulls_last(file_num), F.desc("source_file"), F.desc("seq")
         )
         latest = (
             batch.withColumn("__rn", F.row_number().over(w))

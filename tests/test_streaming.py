@@ -296,3 +296,46 @@ def test_stream_osc_replication_end_to_end(spark, tmp_path):
     n = rows[("node", 100)]
     assert n.version == 2 and n.tags == {"name": "v2"}
     assert n.raw_lat == 15_000_000 and n.raw_lon == 25_000_000
+
+
+def test_stream_osc_replication_numeric_file_order(spark, tmp_path):
+    """Non-zero-padded landing-zone names: 9.osc then 10.osc. The
+    last-op-wins resolution must order by the NUMERIC file sequence —
+    lexicographically '10.osc' < '9.osc', which would replay the stale
+    v1 node as latest (round-3 ADVICE)."""
+    from inputosm_spark.streaming import events as stream_ops
+
+    osc_v1 = """<?xml version="1.0" encoding="UTF-8"?>
+<osmChange version="0.6">
+  <create>
+    <node id="100" lat="1.0" lon="2.0" version="1"
+          timestamp="2021-01-01T00:00:00Z" changeset="1">
+      <tag k="name" v="v1"/>
+    </node>
+  </create>
+</osmChange>
+"""
+    osc_v2 = """<?xml version="1.0" encoding="UTF-8"?>
+<osmChange version="0.6">
+  <modify>
+    <node id="100" lat="1.5" lon="2.5" version="2"
+          timestamp="2021-01-02T00:00:00Z" changeset="2">
+      <tag k="name" v="v2"/>
+    </node>
+  </modify>
+</osmChange>
+"""
+    landing = tmp_path / "repl_landing_np"
+    landing.mkdir()
+    (landing / "9.osc").write_text(osc_v1)
+    (landing / "10.osc").write_text(osc_v2)
+
+    state = str(tmp_path / "repl_state_np")
+    stream_ops.stream_osc_replication(
+        spark, str(landing), state, str(tmp_path / "repl_ckpt_np")
+    )
+    got = spark.read.parquet(state)
+    rows = {(r.kind, r.id): r for r in got.collect()}
+    assert set(rows) == {("node", 100)}
+    assert rows[("node", 100)].version == 2
+    assert rows[("node", 100)].tags == {"name": "v2"}
