@@ -42,12 +42,63 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# The driver's correctness gate checks the FIRST ~50 queries() entries
+# per round; rounds 2-3 re-checked the same 50 while every newer entry
+# went unmeasured by the hard signal (round-3 verdict directive #2).
+# Names listed here are emitted FIRST — keep it as: queries added or
+# materially changed in recent rounds, then the entries no
+# CORRECTNESS_r*.json has ever covered; long-stable classics rotate to
+# the back (they remain covered by scripts/check_oracles.py, which
+# always runs the full set).
+_DRIVER_WINDOW_FIRST = [
+    # round-4: new or behavior-adjacent this round
+    "simhash_near_dup",
+    "token_shards",
+    "heavy_hitter_terms",
+    "contamination_overlap",
+    "minhash_signatures",
+    "embedding_near_dup",
+    # round-3 additions never driver-checked
+    "pbf_roundtrip",
+    "sql_cell_rollup",
+    "way_length",
+    "way_area",
+    "dedup_keep_best",
+    "zorder_cells",
+    "tfidf_top_terms",
+    "repetition_score",
+    "funnel_stages",
+    "cohort_retention",
+    "asof_user_state_fwd",
+    "asof_user_state_nearest",
+    # older entries outside every previous driver window
+    "asof_user_state",
+    "interval_join_windows",
+    "event_percentiles",
+    "cumulative_daily_events",
+    "hash_split",
+    "stratified_sample",
+    "intersect_users",
+    "training_pipeline",
+    "rolling_fingerprint",
+    "ivf_topk",
+    "pip_join_shuffle",
+    "winnow_sketch",
+    "ivf_kmeans_topk",
+]
+
+
+def _window_ordered(d: dict) -> dict:
+    first = {n: d[n] for n in _DRIVER_WINDOW_FIRST if n in d}
+    return {**first, **{n: v for n, v in d.items() if n not in first}}
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return _window_ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _window_ordered(_ORACLES)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
