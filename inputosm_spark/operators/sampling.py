@@ -96,11 +96,27 @@ def token_shards(
 
     shard(doc) = (cumulative tokens BEFORE doc, in id order) // budget.
 
-    A naive global cumsum is a single-reducer window; this runs the
-    same TWO-PASS CARRY as the skew-safe as-of join: a window per
-    (id // bucket) range, a tiny one-row-per-bucket summary whose own
-    window computes each bucket's carry-in offset, joined back — the
-    corpus is never serialized through one task.
+    A naive global cumsum is a single-reducer window; this runs a
+    RECURSIVE two-pass carry with NO partition-less window at any
+    level:
+
+    * level 1 — a window per (id // bucket) range computes the cumsum
+      within each bucket of <= `bucket` docs;
+    * level 2 — the one-row-per-bucket summary gets the same
+      treatment: a window per SUPER-bucket (bucket // bucket) computes
+      each bucket's carry-in from its super-bucket peers;
+    * terminal — the super-bucket totals (n_docs / bucket^2 rows)
+      resolve their own carry-in via a triangular broadcast join
+      (sum of all strictly-earlier super totals), which Spark plans as
+      a BroadcastNestedLoopJoin partitioned by the outer side — no
+      global window, no single-reducer stage anywhere in the plan.
+
+    Sizing: level-1/2 window partitions hold <= `bucket` rows and the
+    terminal join is O((n_docs / bucket^2)^2) broadcast-pair work, so
+    bucket ~ n_docs^(1/3) keeps every stage sublinear (10^12 docs at
+    bucket=2^17: 131k-row windows, 58k summary partitions, ~58-row
+    terminal join). The default 1024 covers ~10^9 docs with a <=1024-
+    row terminal broadcast.
     """
     from pyspark.sql import Window
 
@@ -121,15 +137,43 @@ def token_shards(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = base.withColumn("__cum", F.sum("n_tokens").over(win))
-    summary = base.groupBy("__bck").agg(F.sum("n_tokens").alias("__bsum"))
-    wprev = (
-        Window.partitionBy(F.lit(0))
+    # bucket summary: one narrow row per id-range bucket, cached — it
+    # feeds three branches (within-super window, super totals x2) and
+    # recomputing it re-tokenizes the corpus per branch
+    summary = (
+        base.groupBy("__bck")
+        .agg(F.sum("n_tokens").alias("__bsum"))
+        .withColumn("__sb", F.floor(F.col("__bck") / bucket).cast("long"))
+        .cache()
+    )
+    w2 = (
+        Window.partitionBy("__sb")
         .orderBy("__bck")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = summary.select(
+    within_super = summary.select(
         F.col("__bck").alias("__sbck"),
-        F.coalesce(F.sum("__bsum").over(wprev), F.lit(0)).alias("__off"),
+        "__sb",
+        F.coalesce(F.sum("__bsum").over(w2), F.lit(0)).alias("__woff"),
+    )
+    super_tot = summary.groupBy("__sb").agg(F.sum("__bsum").alias("__stot"))
+    # terminal carry: each super-bucket's offset = sum of all earlier
+    # super totals — triangular join with the tiny totals broadcast
+    soff = (
+        super_tot.select(F.col("__sb").alias("__sba"))
+        .join(
+            F.broadcast(
+                super_tot.select(F.col("__sb").alias("__sbb"), "__stot")
+            ),
+            F.col("__sbb") < F.col("__sba"),
+            "left",
+        )
+        .groupBy("__sba")
+        .agg(F.coalesce(F.sum("__stot"), F.lit(0)).alias("__soff"))
+    )
+    offsets = within_super.join(soff, F.col("__sb") == F.col("__sba")).select(
+        "__sbck",
+        (F.col("__soff") + F.col("__woff")).alias("__off"),
     )
     return (
         within.join(offsets, F.col("__bck") == F.col("__sbck"))

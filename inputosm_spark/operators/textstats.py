@@ -263,44 +263,19 @@ def _mg_update(counters: dict, batch_counts, m: int) -> None:
             counters[t] -= kth
 
 
-def heavy_hitters(documents: DataFrame, text_col: str = "text",
-                  m: int = 64) -> DataFrame:
-    """EXACT heavy hitters: all terms with global count * m > N (i.e.
-    frequency > N/m), with their exact counts.
-
-    The 100 TB shape is the classic two-pass candidate-pruned exact
-    count (mergeable-summaries MG, Agarwal et al., PODS'12):
-
-    1. per-partition Misra-Gries summaries of capacity m (vectorized:
-       value_counts per Arrow batch, dict ops per DISTINCT term only),
-       each <= m entries regardless of partition size;
-    2. driver merge of the tiny summaries — the merged key set is a
-       guaranteed SUPERSET of every term with count > N/m;
-    3. exact count pass over ONLY candidate tokens: the broadcast isin
-       filter prunes the shuffle to the candidate terms instead of the
-       full vocabulary — at web scale that is the difference between
-       shuffling billions of distinct terms and shuffling m.
-
-    The result is EXACT (pass 3 counts are true counts; the sketch only
-    prunes), so the DuckDB oracle replays it as GROUP BY + HAVING
-    cnt * m > total — integer arithmetic, no thresholds in floats.
+def mg_reduced_summaries(toks: DataFrame, cap: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries of the (term) stream,
+    pre-reduced Spark-side with one groupBy(term).sum before they ever
+    reach the driver — MG merge is additive in the counts, so this is
+    equivalent to merging raw summaries, but the collectable result is
+    bounded by the candidate UNION (distinct surviving terms + the one
+    NULL sentinel row carrying N), not cap x n_partitions. Each
+    partition's summary carries its token total in `n` on a sentinel
+    NULL-term row, so one pass yields both the candidate set and N.
     """
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
 
-    toks = documents.select(
-        F.explode(
-            F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                     lambda w: F.length(w) > 0)
-        ).alias("term")
-    )
-
-    cap = m
-
-    # each summary row carries the partition's token total in `n` (on a
-    # sentinel NULL-term row), so the sketch pass yields BOTH the
-    # candidate set and N — the final plan then scans the token stream
-    # exactly once more (no third branch, nothing cached)
     def mg_partition(it):
         counters: dict = {}
         n_seen = 0
@@ -320,14 +295,58 @@ def heavy_hitters(documents: DataFrame, text_col: str = "text",
         StructField("c", LongType()),
         StructField("n", LongType()),
     ])
-    partials = toks.mapInPandas(mg_partition, summary_schema).collect()
+    return (
+        toks.mapInPandas(mg_partition, summary_schema)
+        .groupBy("term")
+        .agg(F.sum("c").alias("c"), F.sum("n").alias("n"))
+    )
+
+
+def heavy_hitters(documents: DataFrame, text_col: str = "text",
+                  m: int = 64) -> DataFrame:
+    """EXACT heavy hitters: all terms with global count * m > N (i.e.
+    frequency > N/m), with their exact counts.
+
+    The 100 TB shape is the classic two-pass candidate-pruned exact
+    count (mergeable-summaries MG, Agarwal et al., PODS'12):
+
+    1. per-partition Misra-Gries summaries of capacity m (vectorized:
+       value_counts per Arrow batch, dict ops per DISTINCT term only),
+       each <= m entries regardless of partition size;
+    2. a SPARK-SIDE pre-reduce (groupBy(term).sum) of the summaries
+       before the driver merge: MG merge is additive in the counts, so
+       summing per-partition counters per term first is equivalent —
+       and bounds driver traffic to <= distinct-candidate rows instead
+       of m x n_partitions (at 100 TB with ~10^6 tasks and m=64 the
+       un-reduced collect is ~6x10^7 rows; reduced it is <= the
+       candidate union, typically ~m-ish). The driver then applies the
+       final capacity-m truncation; the merged key set remains a
+       guaranteed SUPERSET of every term with count > N/m;
+    3. exact count pass over ONLY candidate tokens: the broadcast isin
+       filter prunes the shuffle to the candidate terms instead of the
+       full vocabulary — at web scale that is the difference between
+       shuffling billions of distinct terms and shuffling m.
+
+    The result is EXACT (pass 3 counts are true counts; the sketch only
+    prunes), so the DuckDB oracle replays it as GROUP BY + HAVING
+    cnt * m > total — integer arithmetic, no thresholds in floats.
+    """
+    toks = documents.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda w: F.length(w) > 0)
+        ).alias("term")
+    )
+
+    cap = m
+    partials = mg_reduced_summaries(toks, cap).collect()
     merged: dict = {}
     total = 0
     for r in partials:
         if r.term is None:
             total += r.n
         else:
-            merged[r.term] = merged.get(r.term, 0) + r.c
+            merged[r.term] = r.c
     if len(merged) > cap:
         kth = sorted(merged.values(), reverse=True)[cap]
         merged = {t: v - kth for t, v in merged.items() if v > kth}

@@ -72,8 +72,15 @@ CHECKS: dict[str, list[str]] = {
     "contamination_overlap": [r"BroadcastHashJoin"],
     # repetition is a map-only pass: project over the scan, no shuffle
     "repetition_score": [r"ReadSchema: struct<doc_id:bigint,text:string>"],
-    # the doc-row cumsum window must partition on the id-range bucket
-    "token_shards": [r"windowspecdefinition\(__bck#\d+L, doc_id"],
+    # the doc-row cumsum window must partition on the id-range bucket;
+    # the bucket summary's own carry must partition on the SUPER-bucket
+    # (recursive carry) with the terminal offsets resolved by the tiny
+    # triangular broadcast join, never a global window
+    "token_shards": [
+        r"windowspecdefinition\(__bck#\d+L, doc_id",
+        r"windowspecdefinition\(__sb#\d+L, __bck",
+        r"BroadcastNestedLoopJoin",
+    ],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
@@ -96,10 +103,14 @@ ANTI_CHECKS: dict[str, list[str]] = {
     "repetition_score": [r"Exchange"],
     # the training side must not sort-merge on the shingle key
     "contamination_overlap": [r"SortMergeJoin"],
-    # a partition-less window over the DOC rows = global single-reducer
-    # cumsum (the summary window partitions on lit(0), which formats as
-    # windowspecdefinition(0, ...) — not matched here)
-    "token_shards": [r"windowspecdefinition\(doc_id#\d+L ASC"],
+    # NO partition-less window at ANY level: not over doc rows (global
+    # single-reducer cumsum) and not the old lit(0)-partitioned summary
+    # window (formats as windowspecdefinition(0, ...) — the WindowExec
+    # "No Partition Defined" warning source)
+    "token_shards": [
+        r"windowspecdefinition\(doc_id#\d+L ASC",
+        r"windowspecdefinition\(0,",
+    ],
 }
 
 

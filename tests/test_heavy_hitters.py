@@ -58,3 +58,31 @@ def test_heavy_hitters_empty_and_no_hitters(spark):
     docs = [[f"u{i}"] for i in range(500)]
     df = _docs(spark, docs, n_parts=4)
     assert textstats.heavy_hitters(df, m=8).count() == 0
+
+
+def test_presummaries_bound_driver_traffic(spark):
+    """The Spark-side pre-reduce must bound the collectable summary to
+    the candidate UNION (+1 sentinel), independent of partition count —
+    without it, driver traffic is m x n_partitions (round-3 verdict
+    watch-item)."""
+    n_docs, n_parts, m = 256, 32, 16
+    # every doc repeats the same 8 hot terms + adds 2 unique fillers
+    docs = [
+        [f"hot{j}" for j in range(8)] + [f"f{i}a", f"f{i}b"]
+        for i in range(n_docs)
+    ]
+    df = _docs(spark, docs, n_parts=n_parts)
+    toks = df.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    )
+    reduced = textstats.mg_reduced_summaries(toks, m).collect()
+    n_distinct = 8 + 2 * n_docs
+    assert len(reduced) <= n_distinct + 1
+    # far below the un-reduced m x n_parts worst case is not guaranteed
+    # (filler terms may survive their partition's truncation), but the
+    # sentinel rows MUST have collapsed to exactly one
+    assert sum(1 for r in reduced if r.term is None) == 1
+    assert next(r.n for r in reduced if r.term is None) == 10 * n_docs
+    # and the end result stays exact
+    got = {r.term: r.cnt for r in textstats.heavy_hitters(df, m=m).collect()}
+    assert got == {f"hot{j}": n_docs for j in range(8)}
