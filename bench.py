@@ -49,6 +49,7 @@ HEADLINE = [
     "cosine_topk",
     "embedding_lsh_sig",
     "ann_lsh_topk",
+    "ann_lsh_topk_w16",
     "embedding_near_dup",
     "ivf_topk",
     "quality_score",
@@ -130,7 +131,7 @@ def main() -> int:
     # warm the JVM + parquet footers once with the cheapest query
     materialize(qs["count_all"](spark, sf_dir))
 
-    n_reps = int(os.environ.get("BENCH_REPS", "2"))
+    n_reps = int(os.environ.get("BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -138,10 +139,16 @@ def main() -> int:
         if fn is None:
             continue
         try:
+            # one UNTIMED warm-up rep per query (Python-worker spawn,
+            # JIT, shuffle-file page cache), then best-of-N timed reps:
+            # this box's documented failure mode is a single contended
+            # minute printing a 9x outlier (round-3 repetition_score
+            # read 12.1 s vs a quiet-box 1.31 s) — best-of-2 with a
+            # timed first rep could not shed it; warm-up + best-of-3
+            # needs all three timed reps to hit contention to lie
+            # (BASELINE.md §scaling)
+            materialize(fn(spark, sf_dir))
             best = None
-            # best-of-N: first run pays Python-worker spawn + JIT for
-            # that query's operators; steady state is the honest
-            # throughput number (same policy as scripts/scaling_job.py)
             for _ in range(n_reps):
                 t0 = time.monotonic()
                 materialize(fn(spark, sf_dir))

@@ -52,6 +52,7 @@ def register(name: str, oracle: str | None = None):
 # always runs the full set).
 _DRIVER_WINDOW_FIRST = [
     # round-4: new or behavior-adjacent this round
+    "ann_lsh_topk_w16",
     "simhash_near_dup",
     "token_shards",
     "heavy_hitter_terms",
@@ -910,8 +911,11 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # hyperplane signature on the FIXED-POINT vector: ±1 weights times
-# int64 components, summed as BIGINT — exact, engine-neutral
-_SIG_INT_SQL = """
+# int64 components, summed as BIGINT — exact, engine-neutral. The
+# plane count parameterizes (two widths are oracle-gated to prove the
+# banding math is not width-coupled).
+def _sig_int_sql(n_planes: int) -> str:
+    return f"""
     SELECT vec_id,
            CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
                 AS BIGINT) AS lsh_sig
@@ -923,11 +927,14 @@ _SIG_INT_SQL = """
                           * 1000000.0) AS BIGINT)
                * (CASE WHEN ((d.d * 40503 + p.p * 2654435761) % 97) % 2 = 0
                        THEN 1 ELSE -1 END) AS t
-        FROM embeddings e, unnest(range(0, 8)) AS p(p),
+        FROM embeddings e, unnest(range(0, {n_planes})) AS p(p),
              unnest(range(0, len(e.embedding))) AS d(d)
       ) GROUP BY 1, 2
     ) GROUP BY vec_id
 """
+
+
+_SIG_INT_SQL = _sig_int_sql(8)
 
 
 @register("embedding_lsh_sig", oracle=_SIG_INT_SQL)
@@ -1522,6 +1529,35 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join at 10^12 scale."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.ann_lsh_topk(emb, emb, k=3, n_planes=8, round_scale=4)
+    return out.select("qid", "neighbor_id", "cos",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "ann_lsh_topk_w16",
+    oracle=f"""
+    WITH sig AS ({_sig_int_sql(16)}),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS neighbor_id, {_COS_SQL} AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_COS_SQL} DESC, c.vec_id) AS rank
+      FROM embeddings q JOIN sig sq ON sq.vec_id = q.vec_id
+           JOIN sig sc ON sc.lsh_sig = sq.lsh_sig
+           JOIN embeddings c ON c.vec_id = sc.vec_id AND c.vec_id != q.vec_id
+    )
+    SELECT qid, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 3
+    """,
+)
+def q_ann_lsh_topk_w16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME banded ANN operator at a second signature width
+    (16 planes -> 2^16 buckets vs the default 8): a green oracle row
+    at both widths proves the kernel's plane-signature math and the
+    band-bucket join are not coupled to one width (round-3 verdict
+    directive #5). Smaller buckets here = higher precision / lower
+    recall — the production recall knob."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ann_lsh_topk(emb, emb, k=3, n_planes=16, round_scale=4)
     return out.select("qid", "neighbor_id", "cos",
                       F.col("rank").cast("int").alias("rank"))
 

@@ -907,6 +907,32 @@ def read_pbf_entities(
     return desc.mapInArrow(decode, _ENTITY_DDL)
 
 
+def input_blob_mem(data: bytes, blob_type: str = "OSMData"):
+    """Decode ONE in-memory Blob message without any file: the public
+    single-blob API, parity with the reference's ``input_blob_mem``
+    (/root/reference/src/inputosmpbf.cpp:917-956), for callers that
+    bring their own transport (message queue, object-store range read,
+    replication fetch) instead of a seekable path.
+
+    ``data`` is the raw Blob message bytes — the envelope that follows
+    a BlobHeader on the wire (any fileformat.proto codec). For
+    ``blob_type="OSMData"`` returns a ``pyarrow.Table`` of entities in
+    the engine's kind-discriminated superset schema (same as
+    read_pbf_entities rows); for ``"OSMHeader"`` returns the parsed
+    header dict after required_features validation.
+    """
+    payload = _blob_payload(data)
+    if blob_type == "OSMHeader":
+        out = _empty_header()
+        _parse_header_into(out, payload)
+        validate_header(out)
+        return out
+    if blob_type != "OSMData":
+        raise ValueError(f"unknown blob_type {blob_type!r}")
+    batches = list(_records_to_batches(decode_primitive_block(payload)))
+    return pa.Table.from_batches(batches, schema=_PA_SCHEMA)
+
+
 def _iter_blob_frames(buf: bytes):
     """(blob_type, blob_bytes) frames of an in-memory PBF — the bytes
     twin of plan_blobs for sources that hand us whole-file content

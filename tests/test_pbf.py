@@ -384,3 +384,56 @@ def test_read_pbf_stream_rejects_bad_required_feature(spark, tmp_path):
 
     with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
         q.awaitTermination()
+
+
+# --- single-blob public API (input_blob_mem parity,
+# /root/reference/src/inputosmpbf.cpp:917-956) --------------------------------
+
+
+def test_input_blob_mem_decodes_one_data_blob():
+    """Decode one in-memory OSMData blob — no file, no Spark — and get
+    the golden entities back as an Arrow table."""
+    block = W.primitive_block(
+        lambda st: [
+            W.dense_group(st, [GOLDEN_NODES[0]]),
+            W.way_group(st, GOLDEN_WAY),
+        ]
+    )
+    framed = W.blob(block, "OSMData")
+    (btype, blob_bytes), = list(pbf._iter_blob_frames(framed))
+    assert btype == "OSMData"
+    tbl = pbf.input_blob_mem(blob_bytes)
+    rows = {(r["kind"], r["id"]): r for r in tbl.to_pylist()}
+    assert set(rows) == {("node", 1), ("way", 10)}
+    n = rows[("node", 1)]
+    assert n["raw_lat"] == GOLDEN_NODES[0]["raw_lat"]
+    assert n["raw_lon"] == GOLDEN_NODES[0]["raw_lon"]
+    assert dict(n["tags"]) == GOLDEN_NODES[0]["tags"]
+    assert n["version"] == 3 and n["changeset"] == 111
+    w = rows[("way", 10)]
+    assert w["node_refs"] == [1, 2]
+    assert dict(w["tags"]) == GOLDEN_WAY["tags"]
+
+
+def test_input_blob_mem_header_roundtrip_and_validation():
+    framed = W.header_blob(
+        bbox=(-1000, 2000, 3000, -4000),
+        writing_program="test-writer",
+        rep_seq=42,
+    )
+    (btype, blob_bytes), = list(pbf._iter_blob_frames(framed))
+    hdr = pbf.input_blob_mem(blob_bytes, blob_type=btype)
+    assert hdr["bbox"] == {"left": -1000, "right": 2000,
+                           "top": 3000, "bottom": -4000}
+    assert hdr["writing_program"] == "test-writer"
+    assert hdr["replication_sequence"] == 42
+
+    bad = W.header_blob(required=("FutureFeature-V9",))
+    (_, bad_bytes), = list(pbf._iter_blob_frames(bad))
+    with pytest.raises(ValueError, match="unsupported required_features"):
+        pbf.input_blob_mem(bad_bytes, blob_type="OSMHeader")
+
+
+def test_input_blob_mem_rejects_unknown_type():
+    with pytest.raises(ValueError, match="unknown blob_type"):
+        pbf.input_blob_mem(b"\x0a\x00", blob_type="SomethingElse")
