@@ -206,6 +206,25 @@ def _hex_digit(c) -> F.Column:
     return F.element_at(m, c)
 
 
+_LANE = 16  # bit-counter lane width; distinct tokens/doc capped at 32766
+
+
+def _packed_lane_lookup(digit: F.Column, n_lanes: int) -> F.Column:
+    """hex-digit VALUE (0-15) -> its `n_lanes` bits spread into 16-bit
+    lanes of one long (bit b of the digit at lane offset 16*b), via an
+    O(1) literal-array index (a literal create_map would linear-scan
+    16 string keys per lookup). Summing the packed longs over tokens
+    counts all four bits of a digit in ONE aggregate buffer — lanes
+    can't bleed while per-lane counts stay < 2^16."""
+    vals = []
+    for v in range(16):
+        packed = 0
+        for b in range(n_lanes):
+            packed |= ((v >> b) & 1) << (_LANE * b)
+        vals.append(F.lit(packed).cast("long"))
+    return F.element_at(F.array(*vals), digit + 1)
+
+
 def simhash(documents: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash fingerprint over unigram tokens, up to 64 bits wide
     (md5's 32 hex digits supply 128 independent bits; the int64
@@ -220,11 +239,20 @@ def simhash(documents: DataFrame, text_col: str = "text", bits: int = 16) -> Dat
     most 2^63-1 before the final negative term).
 
     Scale shape: ONE md5 per token and ONE groupBy(doc_id) carrying
-    `bits` small sum aggregates — the shuffle is (doc_id, 16 ints) per
-    distinct token, not the 16x exploded (doc_id, bit) stream of the
-    naive formulation (which was the first shuffle to fall over at
-    100x corpus). All signs are derived from the single hex digest by
-    per-bit constant expressions (codegen'd, no Python).
+    ceil(bits/4)+1 LANE-PACKED sum aggregates — each hex digit's four
+    bit-counters ride 16-bit lanes of a single long (one map lookup +
+    one sum buffer per DIGIT, not per bit; the round-4 rewrite of the
+    per-bit form, 64 exprs+aggs -> 17, ~2x wall on the 64-bit config).
+    The shuffle is (doc_id, ~17 longs) per distinct token, not the
+    bits-x exploded (doc_id, bit) stream of the naive formulation.
+    Sign test: sum of ±1 over n tokens = 2*bitcount - n > 0. Capacity
+    contract: <= 32766 distinct tokens per document — the largest n
+    where the packed per-token maximum (all four lanes set, top lane
+    at 2^48) can never overflow the int64 sum — enforced by an
+    assert_true in the plan, so past the cap the job RAISES (either
+    the guard or ANSI overflow, both loud) instead of bleeding lane
+    counters silently. No real-world document has 32k DISTINCT
+    tokens; shard such a doc before hashing.
     """
     from inputosm_spark.operators import ensure_parallelism
 
@@ -235,34 +263,51 @@ def simhash(documents: DataFrame, text_col: str = "text", bits: int = 16) -> Dat
             F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
         ).alias("tok"),
     )
-    h = F.md5("tok")
-    # sign_j = +1 iff bit (j%4) of hex digit (j//4) is set — constants
-    # j are literals, so each sign is a cheap codegen'd expression
-    signs = tokens.select(
-        "doc_id",
-        *[
-            F.when(
-                F.pmod(F.floor(_hex_digit(h.substr(j // 4 + 1, 1)) / F.lit(2 ** (j % 4))),
-                       F.lit(2)) == 1,
-                1,
-            ).otherwise(-1).alias(f"b{j}")
-            for j in range(bits)
-        ],
-    )
-    summed = signs.groupBy("doc_id").agg(
-        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(bits)]
-    )
     if not 1 <= bits <= 64:
         raise ValueError(f"simhash bits must be in [1, 64], got {bits}")
+    h = F.md5("tok")
+    n_digits = (bits + 3) // 4
+    packed = tokens.select(
+        "doc_id",
+        *[
+            _packed_lane_lookup(
+                F.conv(h.substr(d + 1, 1), 16, 10).cast("int"),
+                min(4, bits - 4 * d),
+            ).alias(f"p{d}")
+            for d in range(n_digits)
+        ],
+    )
+    summed = packed.groupBy("doc_id").agg(
+        *[F.sum(f"p{d}").alias(f"s{d}") for d in range(n_digits)],
+        F.count("*").alias("__n"),
+    )
+    n = F.col("__n")
     sig = None
     for j in range(bits):
+        # bit-j count rides lane j%4 of digit j//4's packed sum;
+        # sign sum over tokens = 2*count - n, positive iff 2*count > n
+        bitcount = F.shiftright(F.col(f"s{j // 4}"), _LANE * (j % 4)).bitwiseAND(
+            F.lit((1 << _LANE) - 1)
+        )
         # bit 63 is the int64 sign bit: its place value is -(2^63)
         weight = (1 << j) if j < 63 else -(1 << 63)
-        term = F.when(F.col(f"s{j}") > 0, F.lit(weight).cast("long")).otherwise(
+        term = F.when(bitcount * 2 > n, F.lit(weight).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sig = term if sig is None else sig + term
-    return summed.select("doc_id", sig.alias("simhash"))
+    # lane-overflow guard: assert_true is NULL when the predicate
+    # holds, so the coalesce adds 0 on the happy path and the plan
+    # RAISES instead of silently corrupting past the lane capacity
+    # (32766 = largest n where even all-lanes-set tokens cannot
+    # overflow the packed int64 sum, let alone bleed a 16-bit lane)
+    guard = F.assert_true(
+        n <= F.lit(32766),
+        F.lit("simhash: >32766 distinct tokens in one document "
+              "overflow the packed bit-count lanes; shard the doc"),
+    )
+    return summed.select(
+        "doc_id", (sig + F.coalesce(guard.cast("long"), F.lit(0))).alias("simhash")
+    )
 
 
 def simhash_band_candidates(

@@ -72,3 +72,20 @@ def test_wide_pairs_match_brute_force(spark):
     # sign bit genuinely exercised: some signatures must be negative
     assert sigs.filter(F.col("simhash") < 0).count() > 0
     sigs.unpersist()
+
+
+def test_lane_overflow_guard_raises(spark):
+    """Past the 32766-distinct-token capacity the plan must RAISE,
+    never corrupt silently. Two tripwires exist: the assert_true
+    doc-count guard (authoritative; catches lane bleed that never
+    overflows the long) and ANSI long-overflow on the packed sum
+    (can fire first for pathological all-bits token mixes)."""
+    import pytest
+
+    big = " ".join(f"t{i}" for i in range(40_000))
+    df = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    with pytest.raises(Exception) as ei:
+        dedup.simhash(df, bits=16).collect()
+    msg = str(ei.value)
+    assert ("overflow the packed bit-count lanes" in msg
+            or "ARITHMETIC_OVERFLOW" in msg)
