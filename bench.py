@@ -99,6 +99,9 @@ HEADLINE = [
     "token_shards",
     "funnel_stages",
     "cohort_retention",
+    "domain_cap",
+    "split_leakage",
+    "span_fingerprint",
 ]
 
 

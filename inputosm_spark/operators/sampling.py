@@ -19,7 +19,7 @@ A/B decorrelate the bucket from key order so range-correlated inputs
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _P1 = 1_000_003
@@ -80,6 +80,49 @@ def stratified_sample(
         expr = F.when(*branch) if expr is None else expr.when(*branch)
     rate_col = expr.otherwise(F.lit(0))
     return df.filter(b < rate_col)
+
+
+def domain_topk(
+    df: DataFrame,
+    group_col: str,
+    order_by: list,
+    k: int,
+) -> DataFrame:
+    """Per-group quota (domain cap): keep the top-k rows of each group
+    under the caller's TOTAL order (corpus curation: "at most k
+    documents per source/domain, best first" — the standard guard
+    against one crawler domain flooding the mix).
+
+    Skew shape: a naive `row_number().over(partitionBy(group))` drags
+    every row of a hot domain through ONE reducer. This runs the
+    two-phase top-k: a pre-prune window over (group, input-partition)
+    — the hot group's rows stay spread across its input partitions —
+    keeps each partition's local top-k, a guaranteed superset of the
+    global top-k under a total order; the global window then ranks
+    <= k * n_partitions rows per group instead of the whole group.
+    Final ranks are identical to the single-window plan (every row
+    preceding a surviving global top-k row survives pruning too), so
+    the oracle replays the plain one-window formulation.
+
+    `order_by` must be a TOTAL order (tie-broken) or ranks are
+    nondeterministic — same contract as every ranking oracle here.
+    """
+    pruned = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lr",
+            F.row_number().over(
+                Window.partitionBy(group_col, "__pid").orderBy(*order_by)
+            ),
+        )
+        .filter(F.col("__lr") <= k)
+        .drop("__pid", "__lr")
+    )
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def token_shards(

@@ -52,6 +52,9 @@ def register(name: str, oracle: str | None = None):
 # always runs the full set).
 _DRIVER_WINDOW_FIRST = [
     # round-4: new or behavior-adjacent this round
+    "domain_cap",
+    "split_leakage",
+    "span_fingerprint",
     "ann_lsh_topk_w16",
     "simhash_near_dup",
     "token_shards",
@@ -2924,10 +2927,12 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.heavy_hitters(_t(spark, sf_dir, "documents"), m=64)
 
 
-@register(
-    "simhash_near_dup",
-    oracle=f"""
-    WITH toks AS (
+# shared fragment: 64-bit simhash signatures per doc (brute per-bit
+# replay of operators/dedup.simhash at the Manku width; bit 63 is the
+# int64 sign bit — place value -(2^63), two's complement — and the
+# hugeint sum re-narrows to BIGINT exactly)
+_SIMHASH64_SIGS_SQL = f"""
+    toks AS (
       SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, tok
       FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
             FROM documents)
@@ -2940,8 +2945,6 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sums AS (
       SELECT doc_id, bit, sum(sign) AS s FROM per_bit GROUP BY 1, 2
     ), sigs AS (
-      -- bit 63 is the int64 sign bit: place value -(2^63) (two's
-      -- complement); the hugeint sum re-narrows to BIGINT exactly
       SELECT CAST(doc_id AS BIGINT) AS doc_id,
              CAST(sum(CASE WHEN s <= 0 THEN 0
                            WHEN bit = 63 THEN -9223372036854775807 - 1
@@ -2949,6 +2952,13 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                       END) AS BIGINT) AS simhash
       FROM sums GROUP BY doc_id
     )
+"""
+
+
+@register(
+    "simhash_near_dup",
+    oracle=f"""
+    WITH {_SIMHASH64_SIGS_SQL}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hd
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
@@ -3151,4 +3161,143 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"),
         )
         .agg(F.count("*").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 4 — corpus-curation breadth: domain caps, cross-split leakage,
+# and the interleaved span-sequence fingerprint
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "domain_cap",
+    oracle="""
+    SELECT source, doc_id, n_chars, rank FROM (
+      SELECT source, doc_id, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id)
+                  AS BIGINT) AS rank
+      FROM documents
+    ) WHERE rank <= 15
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (domain cap): at most 15 docs per
+    source, best (longest, id tie-break) first — the guard against one
+    crawler domain flooding the training mix. ENGINE runs the two-phase
+    skew-safe top-k (operators/sampling.domain_topk: local pre-prune
+    per (source, input-partition), then a global window over <= k *
+    n_partitions rows per source); the ORACLE replays the plain
+    one-window formulation the pruning provably equals."""
+    from inputosm_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return sampling.domain_topk(
+        docs, "source", [F.desc("n_chars"), F.asc("doc_id")], k=15
+    ).select("source", "doc_id", "n_chars", "rank")
+
+
+@register(
+    "split_leakage",
+    oracle=f"""
+    WITH {_SIMHASH64_SIGS_SQL},
+    splits AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CASE WHEN ((((doc_id % 1000003) * 40503 + 1013) % 9973) % 100) < 80
+                  THEN 'train'
+                  WHEN ((((doc_id % 1000003) * 40503 + 1013) % 9973) % 100) < 90
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT least(pa.split, pb.split) AS split_a,
+           greatest(pa.split, pb.split) AS split_b,
+           count(*) AS n_pairs
+    FROM sigs a JOIN sigs b
+      ON a.doc_id < b.doc_id
+     AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    JOIN splits pa ON pa.doc_id = a.doc_id
+    JOIN splits pb ON pb.doc_id = b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split LEAKAGE audit: near-duplicate pairs (64-bit SimHash,
+    Hamming distance <= 3) bucketed by the split pair they straddle —
+    the pre-training hygiene check that a val/test document's near-twin
+    is not sitting in train. Composes the key-functional split (a
+    scan-time filterable column) with the banded near-dup join; the
+    per-pair split lookup is two equi-joins on doc_id against the
+    narrow (doc_id, split) projection. `train|val` rows are the
+    contamination signal; within-split rows are ordinary dups."""
+    from inputosm_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    pairs = dedup.simhash_near_dup_pairs(docs, max_hd=3, bits=64)
+    splits = sampling.train_val_test_split(
+        docs.select("doc_id"), "doc_id", train=80, val=10
+    )
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "span_fingerprint",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             CAST(greatest(least(ceil(len(string_split(text, ' ')) / 8.0), 6), 1)
+                  AS BIGINT) AS n_chunks
+      FROM documents
+    ), per_span AS (
+      SELECT doc_id, 2*i AS ofs,
+             'text' || chr(31) || array_to_string(w[i*8 + 1 : i*8 + 8], ' ')
+                    || chr(31) AS canon
+      FROM base, unnest(range(0, n_chunks)) AS t(i)
+      UNION ALL
+      SELECT doc_id, 2*i + 1,
+             'media' || chr(31) || chr(31) || 'media://'
+                     || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+      FROM base, unnest(range(0, n_chunks)) AS t(i)
+      WHERE (doc_id*31 + i*17) % 3 = 0
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           md5(string_agg(canon, chr(30) ORDER BY ofs)) AS span_fp
+    FROM per_span GROUP BY doc_id
+    """,
+)
+def q_span_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint's per-row invariant — span-sequence equality
+    (kind, text, media_ref, order) — as a first-class audited query:
+    one md5 fingerprint of each document's ORDERED canonical span
+    sequence, computed map-only over the interleaved table (no
+    shuffle; the oracle rebuilds the same sequence relationally and
+    string_aggs it in offset order). Equal hashes == equal sequences,
+    so this is the row-level integrity gate a 10^12-doc resumable
+    ingest would checksum per partition (lineage rows carry the same
+    idea at partition granularity)."""
+    docs = interleave_documents(_t(spark, sf_dir, "documents"))
+    canon = F.transform(
+        "spans",
+        lambda s: F.concat_ws(
+            "\x1f", s.kind, F.coalesce(s.text, F.lit("")),
+            F.coalesce(s.media_ref, F.lit("")),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.md5(F.array_join(canon, "\x1e")).alias("span_fp"),
     )

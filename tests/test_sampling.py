@@ -40,3 +40,31 @@ def test_stratified_sample_rates_and_subset(spark):
     # unknown strata are dropped entirely
     out2 = sampling.stratified_sample(df, "st", {"a": 100}, "doc_id")
     assert out2.filter("st = 'b'").count() == 0
+
+
+def test_domain_topk_matches_single_window_on_skew(spark):
+    """Two-phase per-group top-k == the naive one-window plan, on a
+    fixture where one hot group dominates and is spread over many
+    input partitions (the case the pre-prune exists for)."""
+    from pyspark.sql import Window, functions as F
+
+    from inputosm_spark.operators import sampling
+
+    rows = [(i, "hot" if i % 10 else f"cold{i}", (i * 37) % 1000)
+            for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    ).repartition(16)
+    order = [F.desc("n_chars"), F.asc("doc_id")]
+    got = sampling.domain_topk(df, "source", order, k=7).select(
+        "source", "doc_id", "rank"
+    )
+    w = Window.partitionBy("source").orderBy(*order)
+    want = (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 7)
+        .select("source", "doc_id", "rank")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the hot group is genuinely capped
+    assert got.filter(F.col("source") == "hot").count() == 7
