@@ -72,6 +72,19 @@ CHECKS: dict[str, list[str]] = {
     "contamination_overlap": [r"BroadcastHashJoin"],
     # repetition is a map-only pass: project over the scan, no shuffle
     "repetition_score": [r"ReadSchema: struct<doc_id:bigint,text:string>"],
+    # two-phase per-group top-k: the pre-prune window partitions on
+    # (group, input-partition) — a hot domain never serializes onto one
+    # reducer — before the global (group)-partitioned ranking window
+    "domain_cap": [
+        r"windowspecdefinition\(source#\d+, __pid",
+        r"windowspecdefinition\(source#\d+, n_chars",
+    ],
+    # split lookups ride broadcast joins on the narrow (doc_id, split)
+    # projection — the near-dup pair stream is never sort-merged
+    # against the corpus
+    "split_leakage": [r"BroadcastHashJoin"],
+    # the span-sequence fingerprint is a map-only pass (see ANTI)
+    "span_fingerprint": [r"ReadSchema: struct<doc_id:bigint,text:string>"],
     # the doc-row cumsum window must partition on the id-range bucket;
     # the bucket summary's own carry must partition on the SUPER-bucket
     # (recursive carry) with the terminal offsets resolved by the tiny
@@ -101,6 +114,7 @@ ANTI_CHECKS: dict[str, list[str]] = {
     "asof_user_state": [r"windowspecdefinition\(__k#\d+L?, __ts"],
     # map-only means NO exchange of any kind in the plan
     "repetition_score": [r"Exchange"],
+    "span_fingerprint": [r"Exchange"],
     # the training side must not sort-merge on the shingle key
     "contamination_overlap": [r"SortMergeJoin"],
     # NO partition-less window at ANY level: not over doc rows (global
