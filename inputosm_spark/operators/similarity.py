@@ -560,12 +560,15 @@ def kmeans_centroids(
             .applyInPandas(mean_fn, "cid long, cvec array<double>")
         )
         # empty clusters keep their previous centroid — k is invariant
+        # BY CONSTRUCTION (left join from the k-row cent preserves every
+        # row), so no count() barrier is spent asserting it; the lazy
+        # localCheckpoint still severs lineage but materializes inside
+        # the NEXT iteration's first job instead of as its own barrier
         cent = (
             cent.select("cid", F.col("cvec").alias("prev"))
             .join(means, "cid", "left")
             .select("cid", F.coalesce("cvec", "prev").alias("cvec"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        assert cent.count() == k, "k-means must preserve k centroids"
     ivs.unpersist()
     return cent.select("cid", F.col("cvec").alias("embedding"))
