@@ -92,3 +92,34 @@ def explain_pruning(spark, path: str, prefix_values: list[int]) -> str:
     used by tests to assert partition pruning actually happens."""
     df = spark.read.parquet(path).filter(F.col("cell_prefix").isin(prefix_values))
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    key: str = "doc_id",
+    n_buckets: int = 8,
+) -> None:
+    """Materialize as a Spark BUCKETED + sorted table (metastore-backed,
+    external data at `path`): `bucketBy(n, key).sortBy(key)` records the
+    hash-layout in table metadata, so every subsequent equi-join or
+    aggregation on `key` between same-bucketed tables runs WITHOUT an
+    Exchange — Catalyst proves both sides share the partitioning and
+    plans a zero-shuffle SortMergeJoin over the pre-sorted buckets.
+
+    This is the managed twin of `with_layout_columns`' explicit bucket
+    column (parquet fallback) and of SURVEY §1.2's Iceberg
+    `PARTITIONED BY (bucket(n, doc_id), ...)` mapping: at 100 TB the
+    repeated per-doc joins (dedup verify, span reassembly, lineage
+    checks) amortize ONE layout write into shuffle-free reads forever.
+    `tests/test_layout.py` asserts the no-Exchange join plan.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(name)
+    )

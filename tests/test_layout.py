@@ -111,3 +111,41 @@ def test_morton_expr_matches_python_interleave(spark):
             if i < res:
                 want += ((r.y >> i) & 1) << (2 * i + 1)
         assert r.m == want, (r.id, r.x, r.y)
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key join with ZERO Exchange —
+    Catalyst recognizes the shared hash layout from table metadata (the
+    amortize-one-write, shuffle-free-joins-forever contract); the same
+    join against an UNbucketed table must shuffle that side."""
+    from inputosm_spark.plans import layout
+
+    a = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("x")
+    )
+    b = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 31 % 101).alias("y")
+    )
+    layout.write_bucketed_table(a, "bt_a", str(tmp_path / "bt_a"), n_buckets=8)
+    layout.write_bucketed_table(b, "bt_b", str(tmp_path / "bt_b"), n_buckets=8)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path (at 100 TB neither side broadcasts
+        # — that regime, not the tiny-fixture broadcast, is under test)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ta, tb = spark.table("bt_a"), spark.table("bt_b")
+        joined = ta.join(tb, "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 10_000
+
+        # control: joining the bucketed table to a raw DataFrame must
+        # exchange the unbucketed side
+        raw = spark.range(0, 10_000).select(F.col("id").alias("doc_id"))
+        plan2 = ta.join(raw, "doc_id")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
