@@ -89,3 +89,45 @@ def test_lane_overflow_guard_raises(spark):
     msg = str(ei.value)
     assert ("overflow the packed bit-count lanes" in msg
             or "ARITHMETIC_OVERFLOW" in msg)
+
+
+def _simhash_ref(text: str, bits: int) -> int:
+    """Independent pure-Python SimHash twin: md5 hex digits of each
+    distinct normalized token, bit j = bit (j%4) of digit (j//4),
+    sign sum > 0 -> bit set; bit 63 packs as int64 two's complement."""
+    import hashlib
+    import re as _re
+
+    toks = set(t for t in _re.sub(r"\s+", " ", text.lower().strip()).split(" "))
+    sig = 0
+    for j in range(bits):
+        s = 0
+        for t in toks:
+            d = int(hashlib.md5(t.encode()).hexdigest()[j // 4], 16)
+            s += 1 if (d >> (j % 4)) & 1 else -1
+        if s > 0:
+            sig |= 1 << j
+    return sig - (1 << 64) if bits == 64 and sig >= (1 << 63) else sig
+
+
+def test_simhash_matches_independent_reference(spark):
+    """The lane-packed Spark simhash equals a from-scratch Python
+    implementation on assorted docs at 16 and 64 bits (including
+    empty-ish and repeated-token docs)."""
+    texts = [
+        "alpha beta gamma delta",
+        "alpha alpha alpha",
+        "one",
+        "the quick brown fox jumps over the lazy dog again and again",
+        " spaced   out\ttokens  here ",
+        "z",
+        " ".join(f"w{i}" for i in range(50)),
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for bits in (16, 64):
+        got = {r.doc_id: r.simhash
+               for r in dedup.simhash(df, bits=bits).collect()}
+        want = {i: _simhash_ref(t, bits) for i, t in enumerate(texts)}
+        assert got == want, f"bits={bits}: {got} != {want}"
