@@ -102,6 +102,7 @@ HEADLINE = [
     "domain_cap",
     "split_leakage",
     "span_fingerprint",
+    "bigram_familiarity",
 ]
 
 

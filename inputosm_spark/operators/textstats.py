@@ -337,7 +337,14 @@ def heavy_hitters(documents: DataFrame, text_col: str = "text",
                      lambda w: F.length(w) > 0)
         ).alias("term")
     )
+    return heavy_hitter_tokens(toks, m)
 
+
+def heavy_hitter_tokens(toks: DataFrame, m: int = 64) -> DataFrame:
+    """The generic (term)-stream form of `heavy_hitters` — same
+    MG-pruned exact two-pass over ANY tokenization (unigrams, word
+    n-grams, shingles): `bigram_familiarity` feeds it distinct-per-doc
+    bigrams. Returns (term, cnt) for terms with cnt * m > N."""
     cap = m
     partials = mg_reduced_summaries(toks, cap).collect()
     merged: dict = {}

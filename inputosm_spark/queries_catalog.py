@@ -52,6 +52,7 @@ def register(name: str, oracle: str | None = None):
 # always runs the full set).
 _DRIVER_WINDOW_FIRST = [
     # round-4: new or behavior-adjacent this round
+    "bigram_familiarity",
     "domain_cap",
     "split_leakage",
     "span_fingerprint",
@@ -3300,4 +3301,66 @@ def q_span_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("spans").cast("long").alias("n_spans"),
         F.md5(F.array_join(canon, "\x1e")).alias("span_fp"),
+    )
+
+
+@register(
+    "bigram_familiarity",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 2
+                    THEN array_to_string(w[i + 1 : i + 2], ' ')
+                    ELSE array_to_string(w, ' ') END AS shingle
+        FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+              FROM documents),
+             unnest(range(0, greatest(len(w) - 1, 1))) AS t(i)
+      )
+    ),
+    tot AS (SELECT count(*) AS c FROM sh),
+    common AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) * 1024 > (SELECT c FROM tot)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM common)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           round(sum(CASE WHEN shingle IN (SELECT shingle FROM common)
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS familiarity
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAMILIARITY / NOVELTY scoring: the share of each document's
+    distinct word bigrams that belong to the corpus's COMMON bigram set
+    (doc-distinct occurrence mass > 1/1024 of the stream) — the
+    cheap count-based language-model proxy used to separate boilerplate
+    (high familiarity) from novel or noisy text (low). Composition is
+    the scale story: the common set comes from the MG-pruned exact
+    heavy-hitter pass (textstats.heavy_hitter_tokens) over map-side
+    distinct bigrams (dedup.word_shingles, no shuffle), and is BOUNDED
+    (< m + slack rows), so the per-doc scoring join is a broadcast —
+    the corpus is never shuffled on the bigram key."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, n=2).cache()
+    common = textstats.heavy_hitter_tokens(
+        sh.select(F.col("shingle").alias("term")), m=1024
+    )
+    marked = sh.join(
+        F.broadcast(
+            common.select(F.col("term").alias("shingle"), F.lit(1).alias("__hit"))
+        ),
+        "shingle",
+        "left",
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_common"),
+        F.round(
+            F.sum(F.coalesce("__hit", F.lit(0)))
+            / F.count("*"), 4
+        ).alias("familiarity"),
     )
