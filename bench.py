@@ -103,6 +103,7 @@ HEADLINE = [
     "split_leakage",
     "span_fingerprint",
     "bigram_familiarity",
+    "box_overlap_join",
 ]
 
 

@@ -451,3 +451,82 @@ def vectorize(raster: DataFrame, tile_res: int, pixel_res: int) -> DataFrame:
          + (F.col("__tx") * side + px)).alias("cell"),
         "cnt",
     )
+
+
+# ---------------------------------------------------------------------------
+# box-overlap (rectangle-intersection) spatial join
+# ---------------------------------------------------------------------------
+
+
+def _grid_cells(df: DataFrame, grid: int) -> DataFrame:
+    """Explode each closed-open box [lat0,lat1) x [lon0,lon1) into the
+    (ci, cj) grid cells it intersects — pure sequence/explode column
+    math, no UDF. Boxes must be non-empty (lat1 > lat0, lon1 > lon0).
+    """
+    g = F.lit(grid)
+    out = df.withColumn(
+        "__ci",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lat0") / g), F.floor((F.col("lat1") - 1) / g)
+            )
+        ),
+    )
+    return out.withColumn(
+        "__cj",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lon0") / g), F.floor((F.col("lon1") - 1) / g)
+            )
+        ),
+    )
+
+
+def box_overlap_join(
+    a_boxes: DataFrame,
+    b_boxes: DataFrame,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+    grid: int = 100_000,
+) -> DataFrame:
+    """Rectangle-intersection JOIN: all (a, b) pairs whose closed-open
+    boxes [lat0,lat1) x [lon0,lon1) overlap, with the exact integer
+    intersection area — the polygon-overlap primitive (bbox phase of
+    any polygon-polygon join).
+
+    Shape: *bucket first, exact-match second* (the engine's PIP/kNN
+    pattern). Both sides explode into covering grid cells and
+    equi-join on (ci, cj) — never a cross join: two overlapping boxes
+    both cover their intersection's cell, so the cell join is a
+    guaranteed candidate SUPERSET; the exact closed-open interval test
+    + area are then plain column arithmetic, and duplicates from
+    multi-cell overlaps collapse with one distinct.
+
+    Sizing: fan-out per box = ceil(h/grid) * ceil(w/grid); pick `grid`
+    near the typical box size so most boxes hit 1-4 cells. A giant box
+    (continental outlier) fans out proportionally — cap or split such
+    boxes upstream, same guardrail as lsh_candidate_pairs' max_bucket.
+    """
+    a = _grid_cells(
+        a_boxes.select(F.col(a_id), "lat0", "lat1", "lon0", "lon1"), grid
+    ).select(
+        a_id, "__ci", "__cj",
+        F.col("lat0").alias("alat0"), F.col("lat1").alias("alat1"),
+        F.col("lon0").alias("alon0"), F.col("lon1").alias("alon1"),
+    )
+    b = _grid_cells(b_boxes.select(b_id, "lat0", "lat1", "lon0", "lon1"), grid).select(
+        b_id, "__ci", "__cj",
+        F.col("lat0").alias("blat0"), F.col("lat1").alias("blat1"),
+        F.col("lon0").alias("blon0"), F.col("lon1").alias("blon1"),
+    )
+    ilat = F.least("alat1", "blat1") - F.greatest("alat0", "blat0")
+    ilon = F.least("alon1", "blon1") - F.greatest("alon0", "blon0")
+    return (
+        a.join(b, ["__ci", "__cj"])
+        .filter((ilat > 0) & (ilon > 0))
+        .select(
+            a_id, b_id,
+            (ilat * ilon).cast("long").alias("inter_area"),
+        )
+        .distinct()
+    )

@@ -52,6 +52,7 @@ def register(name: str, oracle: str | None = None):
 # always runs the full set).
 _DRIVER_WINDOW_FIRST = [
     # round-4: new or behavior-adjacent this round
+    "box_overlap_join",
     "bigram_familiarity",
     "domain_cap",
     "split_leakage",
@@ -3364,3 +3365,69 @@ def q_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*"), 4
         ).alias("familiarity"),
     )
+
+
+def _box_bboxes(spark: SparkSession) -> DataFrame:
+    """The _BOX_SQL rectangles as a (b_id, lat0, lat1, lon0, lon1)
+    bbox frame (same literals as _box_polygons' rings)."""
+    lat0 = F.lit(-800_000) + F.col("id") * 130_000
+    lat1 = lat0 + F.lit(60_000) + F.pmod("id", F.lit(3)) * 40_000
+    lon0 = F.lit(-1_700_000) + F.col("id") * 260_000
+    lon1 = lon0 + F.lit(90_000) + F.pmod("id", F.lit(4)) * 50_000
+    boxes = spark.range(_N_BOXES).select(
+        F.concat(F.lit("box"), F.col("id").cast("string")).alias("b_id"),
+        lat0.cast("long").alias("lat0"), lat1.cast("long").alias("lat1"),
+        lon0.cast("long").alias("lon0"), lon1.cast("long").alias("lon1"),
+    )
+    metro = spark.range(1).select(
+        F.lit("metro").alias("b_id"),
+        F.lit(-450_000).cast("long").alias("lat0"),
+        F.lit(450_000).cast("long").alias("lat1"),
+        F.lit(-900_000).cast("long").alias("lon0"),
+        F.lit(900_000).cast("long").alias("lon1"),
+    )
+    return boxes.unionAll(metro)
+
+
+@register(
+    "box_overlap_join",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id AS a_id,
+             {_LAT_SQL} - (5000 + (doc_id % 7) * 2000) AS lat0,
+             {_LAT_SQL} + (5000 + (doc_id % 7) * 2000) AS lat1,
+             {_LON_SQL} - (8000 + (doc_id % 5) * 3000) AS lon0,
+             {_LON_SQL} + (8000 + (doc_id % 5) * 3000) AS lon1
+      FROM documents
+    ), b AS ({_BOX_SQL})
+    SELECT a.a_id, b.poly_id AS b_id,
+           CAST((least(a.lat1, b.lat1) - greatest(a.lat0, b.lat0))
+                * (least(a.lon1, b.lon1) - greatest(a.lon0, b.lon0))
+                AS BIGINT) AS inter_area
+    FROM a, b
+    WHERE greatest(a.lat0, b.lat0) < least(a.lat1, b.lat1)
+      AND greatest(a.lon0, b.lon0) < least(a.lon1, b.lon1)
+    """,
+)
+def q_box_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle-intersection spatial join (the bbox phase of any
+    polygon-polygon overlap join): each document carries a
+    deterministic footprint box around its point, joined against the
+    fixture rectangle set with exact integer intersection areas. The
+    ENGINE buckets both sides into covering grid cells and equi-joins
+    on the cell — never a cross join (operators/spatial.
+    box_overlap_join); the ORACLE brute-forces all pairs with the same
+    closed-open interval test, independently confirming the cell
+    superset loses nothing."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    w = F.lit(5000) + F.pmod(F.col("doc_id"), F.lit(7)) * 2000
+    h = F.lit(8000) + F.pmod(F.col("doc_id"), F.lit(5)) * 3000
+    a = docs.select(
+        F.col("doc_id").alias("a_id"),
+        (lat - w).cast("long").alias("lat0"),
+        (lat + w).cast("long").alias("lat1"),
+        (lon - h).cast("long").alias("lon0"),
+        (lon + h).cast("long").alias("lon1"),
+    )
+    return spatial.box_overlap_join(a, _box_bboxes(spark), grid=100_000)

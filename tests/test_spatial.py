@@ -179,3 +179,37 @@ def test_pip_join_antimeridian_polygon(spark):
     assert len(parts) == 2
     for la, lo in parts:
         assert lo.max() - lo.min() < 2 * geo.LON_MAX_E4 / 2  # < half world
+
+
+def test_box_overlap_join_matches_bruteforce(spark):
+    """Cell-bucketed rectangle join == brute-force on a fixture with
+    boxes that span MANY grid cells, share only edges (closed-open: no
+    overlap), or nest entirely."""
+    from inputosm_spark.operators import spatial
+
+    a_rows = [
+        (1, 0, 50, 0, 50),            # small
+        (2, 0, 250_000, 0, 250_000),  # spans 3x3 grid cells at grid=1e5
+        (3, 100, 200, 100, 200),      # nested inside 2
+        (4, -50, 0, -50, 0),          # touches 1 at the corner only
+    ]
+    b_rows = [
+        (10, 25, 75, 25, 75),          # overlaps 1
+        (11, 240_000, 400_000, 0, 10), # overlaps 2 in its last cell row
+        (12, 0, 100, 0, 100),          # contains 3, touches 4's edge
+        (13, 999_000, 999_100, 0, 10), # far away
+    ]
+    a = spark.createDataFrame(a_rows, "a_id long, lat0 long, lat1 long, lon0 long, lon1 long")
+    b = spark.createDataFrame(b_rows, "b_id long, lat0 long, lat1 long, lon0 long, lon1 long")
+    got = sorted(map(tuple, spatial.box_overlap_join(a, b, grid=100_000).collect()))
+
+    brute = []
+    for ai, al0, al1, an0, an1 in a_rows:
+        for bi, bl0, bl1, bn0, bn1 in b_rows:
+            ilat = min(al1, bl1) - max(al0, bl0)
+            ilon = min(an1, bn1) - max(an0, bn0)
+            if ilat > 0 and ilon > 0:
+                brute.append((ai, bi, ilat * ilon))
+    assert got == sorted(brute)
+    # the closed-open edge touch (4 vs 12) must NOT be a pair
+    assert (4, 12) not in {(x, y) for x, y, _ in got}
