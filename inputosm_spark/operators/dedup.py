@@ -198,14 +198,6 @@ def jaccard_verify(
     )
 
 
-_HEX = "0123456789abcdef"
-#: hex char -> value map (Column expr); md5-hex digits provide the
-#: token hash bits so SimHash is reproducible in any engine with md5.
-def _hex_digit(c) -> F.Column:
-    m = F.create_map(*[x for d, ch in enumerate(_HEX) for x in (F.lit(ch), F.lit(d))])
-    return F.element_at(m, c)
-
-
 _LANE = 16  # bit-counter lane width; distinct tokens/doc capped at 32766
 
 

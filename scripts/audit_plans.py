@@ -83,6 +83,12 @@ CHECKS: dict[str, list[str]] = {
     # projection — the near-dup pair stream is never sort-merged
     # against the corpus
     "split_leakage": [r"BroadcastHashJoin"],
+    # the common-bigram set is bounded (< m rows) and must BROADCAST —
+    # the corpus is never shuffled on the bigram key (see ANTI)
+    "bigram_familiarity": [r"BroadcastHashJoin"],
+    # the rectangle join is an EQUI-join on covering grid cells —
+    # never a cross/nested-loop product (see ANTI)
+    "box_overlap_join": [r"Join"],
     # the span-sequence fingerprint is a map-only pass (see ANTI)
     "span_fingerprint": [r"ReadSchema: struct<doc_id:bigint,text:string>"],
     # the doc-row cumsum window must partition on the id-range bucket;
@@ -117,6 +123,11 @@ ANTI_CHECKS: dict[str, list[str]] = {
     "span_fingerprint": [r"Exchange"],
     # the training side must not sort-merge on the shingle key
     "contamination_overlap": [r"SortMergeJoin"],
+    # scoring must never shuffle the corpus on the bigram key
+    "bigram_familiarity": [r"SortMergeJoin"],
+    # a cross join here would be the O(n*m) plan the cell bucketing
+    # exists to prevent
+    "box_overlap_join": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     # NO partition-less window at ANY level: not over doc rows (global
     # single-reducer cumsum) and not the old lit(0)-partitioned summary
     # window (formats as windowspecdefinition(0, ...) — the WindowExec
