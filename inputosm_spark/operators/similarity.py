@@ -515,6 +515,115 @@ def ivf_topk(
     return _rank_topk(scored, k, round_scale)
 
 
+_PARTIAL_SCHEMA = "cid long, cnt long, sumvec array<long>"
+
+
+def _assign_partials_kernel(crows: list, round_scale: int):
+    """Fused assignment + partial-mean kernel for one Lloyd iteration:
+    per Arrow batch, pick each vector's centroid and accumulate exact
+    int64 per-centroid vector sums IN the kernel — the corpus crosses
+    Arrow once per iteration and NO vector is ever shuffled.
+
+    Exactness without a third rounding implementation: the final
+    assignment order is (round(cos, rs) DESC, cid ASC) in Catalyst.
+    The kernel decides a row only when the decision cannot depend on
+    the rounding function at all:
+
+    * a non-finite cosine (zero-norm vector or centroid) RAISES, the
+      same loud failure the Catalyst window path produces under ANSI
+      (double division by zero in _cos_from_pair is an error, not a
+      NaN) — zero-norm vectors are a data error; filter them upstream;
+    * otherwise, if best - second_best > 1.5 * 10^-rs, ANY monotone
+      rounding to the 10^-rs grid puts the best strictly first
+      (round(a) >= a - g/2 > b + g >= round(b) + g/2);
+    * near-ties resolve on the integer grid: r = sign(y)*floor(|y|+.5)
+      with y = cos * 10^rs equals Catalyst's HALF_UP decimal rounding
+      whenever |y| is not within 1e-6 of a .5 boundary (the float
+      error in y is ~4 ulp ~ 1e-11, five orders below the tolerance,
+      and the shortest-repr decimal Catalyst rounds lies within half
+      an ulp of the float) — then winner = first max of r (ascending
+      cids break rounded ties exactly like the ORDER BY cid ASC);
+    * ONLY rows where a winner-relevant candidate sits inside that
+      1e-6 boundary band are UNDECIDED and escape to the exact
+      Catalyst ranking (emitted as sentinel cid=-1 rows carrying
+      vec_id + vector; expected count ~0 at probability ~1e-8/row).
+
+    Cosines replicate the Catalyst expression tree bit-for-bit:
+    dot / (sqrt(qns) * sqrt(cns)) on float64, dots and norms exact
+    integers < 2^53.
+    """
+    C = np.array([r.iv for r in crows], dtype=np.float64)
+    cids = np.array([r.cid for r in crows], dtype=np.int64)  # ascending
+    cns = np.einsum("ij,ij->i", C, C)
+    csq = np.sqrt(cns)
+    margin = _prune_margin(round_scale)
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Vi = np.stack(pdf["iv"].to_numpy()).astype(np.int64)
+            V = Vi.astype(np.float64)
+            D = V @ C.T  # exact int values
+            qsq = np.sqrt(np.einsum("ij,ij->i", V, V))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = D / (qsq[:, None] * csq[None, :])
+            n, k = cos.shape
+            if not np.isfinite(cos).all():
+                raise ValueError(
+                    "kmeans assignment: non-finite cosine (zero-norm "
+                    "vector or centroid) — same DIVIDE_BY_ZERO contract "
+                    "as the ANSI Catalyst path; filter zero-norm "
+                    "vectors upstream"
+                )
+            undecided = np.zeros(n, dtype=bool)
+            win = np.argmax(cos, axis=1)  # first max -> lowest cid
+            rows = np.arange(n)
+            b1 = cos[rows, win]
+            c2 = cos.copy()
+            c2[rows, win] = -np.inf
+            gap = b1 - c2.max(axis=1)
+            close = gap <= margin
+            if close.any():
+                # grid-round the near-tie rows; winner-relevant
+                # candidates within 1e-6 of a .5 boundary escape
+                ci = np.flatnonzero(close)
+                y = cos[ci] * (10.0 ** round_scale)
+                ay = np.abs(y)
+                r = np.sign(y) * np.floor(ay + 0.5)
+                risky = np.abs(ay - (np.floor(ay) + 0.5)) < 1e-6
+                relevant = cos[ci] >= (b1[ci] - margin)[:, None]
+                esc = (risky & relevant).any(axis=1)
+                win[ci] = np.argmax(r, axis=1)
+                undecided[ci] = esc
+            dec = ~undecided
+            out = {"cid": [], "cnt": [], "sumvec": []}
+            if dec.any():
+                wd = win[dec]
+                sums = np.zeros((k, Vi.shape[1]), dtype=np.int64)
+                np.add.at(sums, wd, Vi[dec])
+                counts = np.bincount(wd, minlength=k)
+                for j in np.flatnonzero(counts):
+                    out["cid"].append(int(cids[j]))
+                    out["cnt"].append(int(counts[j]))
+                    out["sumvec"].append(sums[j].tolist())
+            # sentinel rows: cid=-1, cnt carries vec_id, sumvec the iv
+            for i in np.flatnonzero(undecided):
+                out["cid"].append(-1)
+                out["cnt"].append(int(pdf["vec_id"].iloc[i]))
+                out["sumvec"].append(Vi[i].tolist())
+            if out["cid"]:
+                yield pd.DataFrame(
+                    {
+                        "cid": pd.Series(out["cid"], dtype="int64"),
+                        "cnt": pd.Series(out["cnt"], dtype="int64"),
+                        "sumvec": pd.Series(out["sumvec"], dtype="object"),
+                    }
+                )
+
+    return gen
+
+
 def kmeans_centroids(
     corpus: DataFrame, k: int = 8, iters: int = 3, round_scale: int = 4
 ) -> DataFrame:
@@ -527,11 +636,15 @@ def kmeans_centroids(
     vectors divided by the count (one IEEE division per dimension —
     engine-replayable, unlike order-dependent float summation).
 
-    Each iteration is one closure-broadcast assignment pass + one
-    groupBy(cid) Arrow mean kernel — the canonical Spark k-means shape
-    (centroid table always tiny, corpus never replicated). Iterations
-    are localCheckpoint-severed so the plan stays shallow. Clusters
-    that capture zero vectors keep their previous centroid (k never
+    Each iteration is ONE fused Arrow pass (`_assign_partials_kernel`:
+    assignment + exact int64 partial sums in-kernel; corpus vectors
+    never shuffle, never cross Arrow twice) + a tiny groupBy(cid)
+    merge of <= n_partitions * k narrow partial rows. Rows whose
+    assignment could depend on the rounding grid escape to the exact
+    Catalyst ranking (usually zero rows), so results are bit-identical
+    to the window formulation the oracle replays. Iterations are
+    localCheckpoint-severed so the plan stays shallow. Clusters that
+    capture zero vectors keep their previous centroid (k never
     silently shrinks).
     """
     cent = corpus.filter(F.col("vec_id") < k).select(
@@ -542,33 +655,58 @@ def kmeans_centroids(
 
     ivs = corpus.select("vec_id", fp_vec("embedding").alias("iv")).cache()
 
-    def mean_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        V = np.stack(pdf["iv"].to_numpy()).astype(np.int64)
-        # exact integer column sums, then one division per dim
-        m = V.sum(axis=0, dtype=np.int64) / (len(V) * float(FP_SCALE))
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        S = np.stack(pdf["sumvec"].to_numpy()).astype(np.int64).sum(axis=0)
+        tot = int(pdf["cnt"].sum())
+        m = S / (tot * float(FP_SCALE))
         return pd.DataFrame({"cid": [int(pdf["cid"].iloc[0])], "cvec": [m.tolist()]})
 
     for _ in range(iters):
-        assign = ivf_assign(
-            corpus,
-            cent.select(F.col("cid").alias("vec_id"), F.col("cvec").alias("embedding")),
-            round_scale,
+        # fixed-point centroid vectors via Catalyst fp_vec (HALF_UP
+        # round — the same ints every other path sees), sorted by cid
+        crows = sorted(
+            cent.select("cid", fp_vec(F.col("cvec")).alias("iv")).collect(),
+            key=lambda r: r.cid,
         )
-        means = (
-            ivs.join(assign, "vec_id")
-            .groupBy("cid")
-            .applyInPandas(mean_fn, "cid long, cvec array<double>")
+        partials = ivs.mapInPandas(
+            _assign_partials_kernel(crows, round_scale), _PARTIAL_SCHEMA
+        ).cache()
+        decided = partials.filter(F.col("cid") >= 0)
+        # margin-undecided escape: exact Catalyst ranking for the few
+        # rows near a rounded-grid tie. Usually ZERO rows — probe the
+        # cached partials first so the escape subplan (with its own
+        # centroid-collect job) is built only when actually needed
+        und_ids = partials.filter(F.col("cid") < 0).select(
+            F.col("cnt").alias("vec_id")
+        )
+        if und_ids.limit(1).count() > 0:
+            und = corpus.join(F.broadcast(und_ids), "vec_id")
+            und_assign = ivf_assign(
+                und,
+                cent.select(F.col("cid").alias("vec_id"),
+                            F.col("cvec").alias("embedding")),
+                round_scale,
+            )
+            und_partials = (
+                ivs.join(F.broadcast(und_assign), "vec_id")
+                .select("cid", F.lit(1).cast("long").alias("cnt"),
+                        F.col("iv").alias("sumvec"))
+            )
+            decided = decided.unionByName(und_partials)
+        means = decided.groupBy("cid").applyInPandas(
+            merge_fn, "cid long, cvec array<double>"
         )
         # empty clusters keep their previous centroid — k is invariant
         # BY CONSTRUCTION (left join from the k-row cent preserves every
-        # row), so no count() barrier is spent asserting it; the lazy
-        # localCheckpoint still severs lineage but materializes inside
-        # the NEXT iteration's first job instead of as its own barrier
+        # row), so no count() barrier is spent asserting it; the eager
+        # checkpoint materializes the iteration so the cached partials
+        # can be released before the next pass
         cent = (
             cent.select("cid", F.col("cvec").alias("prev"))
             .join(means, "cid", "left")
             .select("cid", F.coalesce("cvec", "prev").alias("cvec"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        partials.unpersist()
     ivs.unpersist()
     return cent.select("cid", F.col("cvec").alias("embedding"))

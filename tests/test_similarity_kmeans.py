@@ -75,3 +75,92 @@ def test_ivf_with_trained_centroids(spark, sf_dir):
                               n_probe=2, centroids=cents)
     assert out.count() == 30
     assert out.groupBy("qid").count().filter("count != 3").isEmpty()
+
+
+def test_fused_assign_matches_window_formulation(spark):
+    """The fused assign+partial-mean kernel must be bit-identical to
+    the pre-fusion Catalyst-window formulation on an adversarial
+    fixture: two IDENTICAL centroids (every vector is a rounded-grid
+    near-tie between cid 0 and 1 -> the in-kernel grid-rounding path)
+    and exact duplicate corpus vectors. Zero-norm vectors RAISE in
+    both paths (ANSI divide-by-zero contract) — checked separately."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from inputosm_spark.operators import similarity
+    from inputosm_spark.operators.similarity import FP_SCALE, fp_vec, ivf_assign
+
+    k, iters = 3, 2
+    rows = []
+    base = [
+        [1.0, 0.0, 0.0, 0.0],   # cid 0
+        [1.0, 0.0, 0.0, 0.0],   # cid 1 == cid 0 (adversarial tie)
+        [0.0, 1.0, 0.0, 0.0],   # cid 2
+    ]
+    for i, v in enumerate(base):
+        rows.append((i, v))
+    for i in range(3, 40):
+        v = [((i * 37 + j * 11) % 17 - 8) / 10.0 for j in range(4)]
+        rows.append((i, v))
+    rows.append((40, base[0]))          # duplicate of both tied centroids
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = sorted(
+        similarity.kmeans_centroids(corpus, k=k, iters=iters).collect(),
+        key=lambda r: r.cid,
+    )
+
+    # reference twin: the pre-fusion loop (assignment window + vector
+    # join + grouped mean kernel)
+    import pandas as pd
+
+    cent = corpus.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"),
+        F.transform(fp_vec("embedding"),
+                    lambda x: x.cast("double") / F.lit(float(FP_SCALE))).alias("cvec"),
+    ).localCheckpoint(eager=True)
+    ivs = corpus.select("vec_id", fp_vec("embedding").alias("iv"))
+
+    def mean_fn(pdf):
+        V = np.stack(pdf["iv"].to_numpy()).astype(np.int64)
+        m = V.sum(axis=0, dtype=np.int64) / (len(V) * float(FP_SCALE))
+        return pd.DataFrame({"cid": [int(pdf["cid"].iloc[0])], "cvec": [m.tolist()]})
+
+    for _ in range(iters):
+        assign = ivf_assign(
+            corpus,
+            cent.select(F.col("cid").alias("vec_id"), F.col("cvec").alias("embedding")),
+            4,
+        )
+        means = (
+            ivs.join(assign, "vec_id")
+            .groupBy("cid")
+            .applyInPandas(mean_fn, "cid long, cvec array<double>")
+        )
+        cent = (
+            cent.select("cid", F.col("cvec").alias("prev"))
+            .join(means, "cid", "left")
+            .select("cid", F.coalesce("cvec", "prev").alias("cvec"))
+            .localCheckpoint(eager=True)
+        )
+    want = sorted(cent.collect(), key=lambda r: r.cid)
+
+    assert [r.cid for r in got] == [r.cid for r in want]
+    for g, w in zip(got, want):
+        assert g.embedding == w.cvec, (g.cid, g.embedding, w.cvec)
+
+
+def test_zero_norm_vector_raises(spark):
+    """Zero-norm vectors are a data error: the fused kernel raises the
+    same loud failure the ANSI Catalyst path does (divide by zero),
+    never a silent NaN assignment."""
+    import pytest
+
+    from inputosm_spark.operators import similarity
+
+    rows = [(i, [float(i + 1), 1.0]) for i in range(6)]
+    rows.append((6, [0.0, 0.0]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="non-finite cosine|DIVIDE_BY_ZERO"):
+        similarity.kmeans_centroids(corpus, k=2, iters=1).collect()
