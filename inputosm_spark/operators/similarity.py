@@ -24,6 +24,13 @@ Determinism split: Python emits ONLY exact int64 (dots, norm squares);
 every float op (sqrt, divide, round) and every ranking decision stays
 in Catalyst, where the semantics match the DuckDB oracle exactly.
 
+Zero-norm contract (engine-wide): a zero-norm vector makes the cosine
+division divide by zero, which Spark ANSI mode RAISES — in every
+operator here, loudly, at materialization (the kernels keep non-finite
+candidate rows precisely so the error surfaces instead of rows
+silently vanishing; the fused k-means kernel raises the matching error
+itself). Zero-norm vectors are a data error: filter them upstream.
+
 Reference parity: the reference has no vector search; these operators
 are the graft surface (SURVEY.md §2 "LLM-data-pipeline" rows). The
 bucketing shapes are the 100 TB design: candidate work scales with

@@ -110,3 +110,25 @@ def test_zero_norm_vectors_survive_topk_pruning():
     c.loc[0, "ns"] = 0
     pruned = similarity._gemm_pairs(q, c, topk=2)
     assert (pruned["cns"] == 0).sum() == 4  # kept for every query
+
+
+def test_zero_norm_vectors_raise_loudly(spark):
+    """Engine-wide zero-norm contract: a zero-norm vector reaching the
+    Catalyst cosine division RAISES under ANSI — the kernels keep
+    non-finite candidate rows precisely so the error SURFACES instead
+    of pairs silently vanishing (round-3 ADVICE made pruning keep
+    them; this pins what 'downstream decides' actually means)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from inputosm_spark.operators import similarity
+
+    rows = [(i, [float(i + 1), 2.0, 1.0]) for i in range(8)]
+    # TWO zero-norm vectors: they share the all-zero LSH signature, so
+    # a NaN-cosine candidate PAIR actually forms inside one bucket
+    rows += [(8, [0.0, 0.0, 0.0]), (9, [0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        similarity.cosine_topk(emb.filter(F.col("vec_id") < 2), emb, k=3).collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        similarity.near_dup_pairs(emb, threshold=0.5).collect()
