@@ -68,3 +68,23 @@ def test_domain_topk_matches_single_window_on_skew(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     # the hot group is genuinely capped
     assert got.filter(F.col("source") == "hot").count() == 7
+
+
+def test_token_shards_recursive_carry_small_buckets(spark):
+    """bucket=4 on 300 docs forces ALL carry levels (75 bucket-summary
+    rows -> 19 super-buckets -> terminal triangular join); shard
+    assignment must equal the naive global cumsum."""
+    from pyspark.sql import functions as F
+
+    from inputosm_spark.operators import sampling
+
+    rows = [(i, " ".join("w" for _ in range((i * 13) % 9 + 1)))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    got = {r.doc_id: (r.n_tokens, r.shard)
+           for r in sampling.token_shards(df, budget=50, bucket=4).collect()}
+    cum = 0
+    for i in range(300):
+        n = (i * 13) % 9 + 1
+        assert got[i] == (n, cum // 50), (i, got[i], (n, cum // 50))
+        cum += n
