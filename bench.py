@@ -104,6 +104,7 @@ HEADLINE = [
     "span_fingerprint",
     "bigram_familiarity",
     "box_overlap_join",
+    "tile_pyramid",
 ]
 
 

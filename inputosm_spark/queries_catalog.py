@@ -52,6 +52,7 @@ def register(name: str, oracle: str | None = None):
 # always runs the full set).
 _DRIVER_WINDOW_FIRST = [
     # round-4: new or behavior-adjacent this round
+    "tile_pyramid",
     "box_overlap_join",
     "bigram_familiarity",
     "domain_cap",
@@ -3431,3 +3432,43 @@ def q_box_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lon + h).cast("long").alias("lon1"),
     )
     return spatial.box_overlap_join(a, _box_bboxes(spark), grid=100_000)
+
+
+@register(
+    "tile_pyramid",
+    oracle=f"""
+    WITH pts AS (SELECT doc_id, {_LAT_SQL} AS lat_e4, {_LON_SQL} AS lon_e4
+                 FROM documents)
+    SELECT cell, count(*) AS n_docs FROM (
+      SELECT {cells.cell_id_sql('lat_e4', 'lon_e4', 7)} AS cell FROM pts
+      UNION ALL
+      SELECT {cells.cell_id_sql('lat_e4', 'lon_e4', 8)} FROM pts
+      UNION ALL
+      SELECT {cells.cell_id_sql('lat_e4', 'lon_e4', 9)} FROM pts
+      UNION ALL
+      SELECT {cells.cell_id_sql('lat_e4', 'lon_e4', 10)} FROM pts
+      UNION ALL
+      SELECT {cells.cell_id_sql('lat_e4', 'lon_e4', 11)} FROM pts
+    ) GROUP BY cell
+    """,
+)
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution TILE PYRAMID rollup (res 7..11 in one query) —
+    the slippy-map / heat-map aggregation a tiling engine serves at
+    every zoom level. The ENGINE computes all five ancestor cells per
+    point as one array, explodes, and aggregates with ONE map-side-
+    combinable groupBy — one scan + one shuffle for the whole pyramid,
+    instead of the oracle's five unioned per-level aggregations (at
+    100 TB that is 1 shuffle vs 5 scans+shuffles; the explode fan-out
+    is a fixed x5 of narrow (cell) rows, all pre-combined map-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    pts = docs.select(lat.alias("lat_e4"), lon.alias("lon_e4"))
+    pyramid = F.array(
+        *[cells.cell_id_expr("lat_e4", "lon_e4", r) for r in range(7, 12)]
+    )
+    return (
+        pts.select(F.explode(pyramid).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -89,6 +89,13 @@ CHECKS: dict[str, list[str]] = {
     # the rectangle join is an EQUI-join on covering grid cells —
     # never a cross/nested-loop product (see ANTI)
     "box_overlap_join": [r"Join"],
+    # all five zoom levels aggregate through ONE map-side-combined
+    # shuffle (explode -> partial -> single Exchange; see ANTI)
+    "tile_pyramid": [
+        r"Generate",
+        r"partial_count",
+        r"ReadSchema: struct<doc_id:bigint>",
+    ],
     # the span-sequence fingerprint is a map-only pass (see ANTI)
     "span_fingerprint": [r"ReadSchema: struct<doc_id:bigint,text:string>"],
     # the doc-row cumsum window must partition on the id-range bucket;
@@ -128,6 +135,9 @@ ANTI_CHECKS: dict[str, list[str]] = {
     # a cross join here would be the O(n*m) plan the cell bucketing
     # exists to prevent
     "box_overlap_join": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    # a second Exchange would mean the pyramid regressed to per-level
+    # aggregations (five scans+shuffles instead of one)
+    "tile_pyramid": [r"\(\d+\) Exchange.*\(\d+\) Exchange"],
     # NO partition-less window at ANY level: not over doc rows (global
     # single-reducer cumsum) and not the old lit(0)-partitioned summary
     # window (formats as windowspecdefinition(0, ...) — the WindowExec
