@@ -105,6 +105,7 @@ HEADLINE = [
     "bigram_familiarity",
     "box_overlap_join",
     "tile_pyramid",
+    "ring_density",
 ]
 
 

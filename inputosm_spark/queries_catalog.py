@@ -52,6 +52,7 @@ def register(name: str, oracle: str | None = None):
 # always runs the full set).
 _DRIVER_WINDOW_FIRST = [
     # round-4: new or behavior-adjacent this round
+    "ring_density",
     "tile_pyramid",
     "box_overlap_join",
     "bigram_familiarity",
@@ -3471,4 +3472,42 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.select(F.explode(pyramid).alias("cell"))
         .groupBy("cell")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "ring_density",
+    oracle=f"""
+    WITH pts AS (SELECT {_X6} AS x, {_Y6} AS y FROM documents)
+    SELECT (6 * {1 << geo._RES_SHIFT}
+            + (y + dy) * {1 << geo._Y_SHIFT}
+            + ((x + dx + 128) % 128)) AS cell,
+           CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 2 ELSE 1 END)
+                AS BIGINT) AS density
+    FROM pts, unnest(range(-1, 2)) AS a(dy), unnest(range(-1, 2)) AS b(dx)
+    WHERE y + dy >= 0 AND y + dy < 64
+    GROUP BY 1
+    """,
+)
+def q_ring_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOCAL (kernel-smoothed) cell density: every point contributes
+    weight 2 to its own res-6 cell and 1 to each k=1 ring neighbor —
+    the heat-map smoothing pass (integer weights, exact). Engine shape:
+    explode each point's ring once and aggregate with ONE map-side-
+    combined groupBy — the same single-shuffle scale contract as
+    tile_pyramid; the ring fan-out is a fixed x<=9 of narrow (cell)
+    rows, wrap-around and pole clipping identical in both dialects."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    pts = docs.select(lat, lon).select(
+        cells.cell_id_expr("lat_e4", "lon_e4", 6).alias("cell"),
+        cells.kring_expr("lat_e4", "lon_e4", 6, 1).alias("ring"),
+    )
+    exploded = pts.select("cell", F.explode("ring").alias("ncell")).select(
+        "ncell",
+        F.when(F.col("ncell") == F.col("cell"), 2).otherwise(1).alias("w"),
+    )
+    return (
+        exploded.groupBy(F.col("ncell").alias("cell"))
+        .agg(F.sum("w").cast("long").alias("density"))
     )
