@@ -96,6 +96,13 @@ CHECKS: dict[str, list[str]] = {
         r"partial_count",
         r"ReadSchema: struct<doc_id:bigint>",
     ],
+    # focal density: same single-shuffle contract (ring explode ->
+    # map-side partial_sum -> one Exchange)
+    "ring_density": [
+        r"Generate",
+        r"partial_sum",
+        r"ReadSchema: struct<doc_id:bigint>",
+    ],
     # the span-sequence fingerprint is a map-only pass (see ANTI)
     "span_fingerprint": [r"ReadSchema: struct<doc_id:bigint,text:string>"],
     # the doc-row cumsum window must partition on the id-range bucket;
@@ -138,6 +145,7 @@ ANTI_CHECKS: dict[str, list[str]] = {
     # a second Exchange would mean the pyramid regressed to per-level
     # aggregations (five scans+shuffles instead of one)
     "tile_pyramid": [r"\(\d+\) Exchange.*\(\d+\) Exchange"],
+    "ring_density": [r"\(\d+\) Exchange.*\(\d+\) Exchange"],
     # NO partition-less window at ANY level: not over doc rows (global
     # single-reducer cumsum) and not the old lit(0)-partitioned summary
     # window (formats as windowspecdefinition(0, ...) — the WindowExec
