@@ -24,6 +24,9 @@ def entry(spark: SparkSession) -> DataFrame:
     at res 7, and roll up per-cell document/span statistics — the
     engine's core scan→index→aggregate path.
     """
+    # Same UTC pin queries() applies: the driver's session timezone is
+    # host-dependent and the testdata parquet is TZ-naive.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return queries_catalog.flagship(spark, "/root/testdata/sf0.001")
 
 

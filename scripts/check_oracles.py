@@ -11,43 +11,13 @@ Usage: python scripts/check_oracles.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import hashlib
-import math
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import duckdb  # noqa: E402
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
-
-
-def canon_cell(v) -> str:
-    if v is None:
-        return "␀"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
-    if isinstance(v, bool):
-        return str(int(v))
-    return str(v)
-
-
-def frame_hash(df) -> tuple[int, list[str], str]:
-    """pandas df -> (rows, sorted cols, order-insensitive value hash)."""
-    cols = sorted(df.columns)
-    rows = [
-        "\x1f".join(canon_cell(v) for v in rec)
-        for rec in df[cols].itertuples(index=False, name=None)
-    ]
-    rows.sort()
-    h = hashlib.md5("\x1e".join(rows).encode()).hexdigest()
-    return len(rows), cols, h
+from inputosm_spark.oracle_compare import canon_cell, duck_con, frame_hash  # noqa: E402
 
 
 def main() -> int:
@@ -61,11 +31,7 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    con = duck_con(sf_dir)
 
     failures = []
     for name, fn in qs.items():
