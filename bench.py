@@ -106,6 +106,20 @@ HEADLINE = [
     "box_overlap_join",
     "tile_pyramid",
     "ring_density",
+    # round-5: the 12 previously-unbenched catalog entries, so the
+    # per-round regression signal covers the FULL 87-query catalog
+    "lat_stat",
+    "tag_filter",
+    "semi_lookup_join",
+    "span_explode",
+    "except_users",
+    "intersect_users",
+    "event_windows",
+    "raster_roundtrip",
+    "fingerprint",
+    "media_features",
+    "tpch_q6_forecast",
+    "approx_distinct_cells",
 ]
 
 

@@ -182,7 +182,13 @@ def token_shards(
     within = base.withColumn("__cum", F.sum("n_tokens").over(win))
     # bucket summary: one narrow row per id-range bucket, cached — it
     # feeds three branches (within-super window, super totals x2) and
-    # recomputing it re-tokenizes the corpus per branch
+    # recomputing it re-tokenizes the corpus per branch. The cache is
+    # deliberately NOT unpersisted: the sharing happens at EXECUTION
+    # time (the returned plan is lazy), so releasing it here would
+    # re-tokenize per branch. Spark's CacheManager dedups by logical
+    # plan, so repeated invocations reuse ONE entry per (input, args)
+    # shape — a bounded, documented cost of cross-branch sharing
+    # (r4 ADVICE), sized n_docs/bucket narrow rows, not the corpus.
     summary = (
         base.groupBy("__bck")
         .agg(F.sum("n_tokens").alias("__bsum"))

@@ -190,9 +190,16 @@ def _gemm_pairs(qpdf: pd.DataFrame, cpdf: pd.DataFrame,
                 # contract — downstream decides their fate, same as topk
                 sel &= (cos >= (min_cos - margin)) | ~np.isfinite(cos)
             if topk is not None and nc > topk + 1:
-                kth = np.partition(cos, nc - topk - 1, axis=1)[
-                    :, nc - topk - 1
-                ]
+                # kth over FINITE cosines only (r4 ADVICE): np.partition
+                # sorts NaN last, so >= topk+1 zero-norm candidates in a
+                # bucket would make kth NaN and `cos >= NaN` all-False,
+                # silently pruning every finite candidate before the
+                # ANSI DIVIDE_BY_ZERO contract fires downstream
+                kth = np.partition(
+                    np.where(np.isfinite(cos), cos, -np.inf),
+                    nc - topk - 1,
+                    axis=1,
+                )[:, nc - topk - 1]
                 sel &= (cos >= (kth - margin)[:, None]) | ~np.isfinite(cos)
             mask = sel if mask is None else (mask & sel)
         if mask is None:

@@ -461,14 +461,27 @@ def vectorize(raster: DataFrame, tile_res: int, pixel_res: int) -> DataFrame:
 def _grid_cells(df: DataFrame, grid: int) -> DataFrame:
     """Explode each closed-open box [lat0,lat1) x [lon0,lon1) into the
     (ci, cj) grid cells it intersects — pure sequence/explode column
-    math, no UDF. Boxes must be non-empty (lat1 > lat0, lon1 > lon0).
+    math, no UDF. Boxes must be non-empty (lat1 > lat0, lon1 > lon0):
+    enforced with an in-plan assert_true (the engine's loud-failure
+    pattern, r4 ADVICE) — an inverted box would otherwise make
+    F.sequence generate a DESCENDING cell range, silently fanning the
+    bad row across cells before the exact interval filter drops it.
     """
     g = F.lit(grid)
+    guard = F.assert_true(
+        (F.col("lat1") > F.col("lat0")) & (F.col("lon1") > F.col("lon0")),
+        F.lit("box_overlap_join: empty or inverted box (need lat1>lat0 "
+              "and lon1>lon0)"),
+    )
     out = df.withColumn(
         "__ci",
         F.explode(
             F.sequence(
-                F.floor(F.col("lat0") / g), F.floor((F.col("lat1") - 1) / g)
+                # assert_true is NULL when the predicate holds, so the
+                # guard is a free +0 on the happy path
+                F.floor(F.col("lat0") / g)
+                + F.coalesce(guard.cast("long"), F.lit(0)),
+                F.floor((F.col("lat1") - 1) / g),
             )
         ),
     )

@@ -3393,14 +3393,28 @@ def q_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (< m + slack rows), so the per-doc scoring join is a broadcast —
     the corpus is never shuffled on the bigram key."""
     docs = _t(spark, sf_dir, "documents")
+    # cache scoped to plan BUILD only (r4 ADVICE: the old version
+    # leaked one corpus-sized CacheManager entry per session): the
+    # MG candidate pass AND the exact-count pass both run here while
+    # the cache is hot — the bounded (< m + slack rows) common set is
+    # collected and re-created as a LITERAL frame, so the returned
+    # plan touches the (now-uncached) shingle frame exactly once
     sh = dedup.word_shingles(docs, n=2).cache()
-    common = textstats.heavy_hitter_tokens(
-        sh.select(F.col("shingle").alias("term")), m=1024
+    try:
+        common_rows = (
+            textstats.heavy_hitter_tokens(
+                sh.select(F.col("shingle").alias("term")), m=1024
+            )
+            .select("term")
+            .collect()
+        )
+    finally:
+        sh.unpersist()
+    common = spark.createDataFrame(
+        [(r.term,) for r in common_rows], "shingle string"
     )
     marked = sh.join(
-        F.broadcast(
-            common.select(F.col("term").alias("shingle"), F.lit(1).alias("__hit"))
-        ),
+        F.broadcast(common.withColumn("__hit", F.lit(1))),
         "shingle",
         "left",
     )

@@ -132,3 +132,25 @@ def test_zero_norm_vectors_raise_loudly(spark):
         similarity.cosine_topk(emb.filter(F.col("vec_id") < 2), emb, k=3).collect()
     with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
         similarity.near_dup_pairs(emb, threshold=0.5).collect()
+
+
+def test_finite_candidates_survive_with_many_zero_norm_candidates():
+    """r4 ADVICE: with >= topk+1 zero-norm candidates in one bucket,
+    np.partition's kth landed on NaN and `cos >= NaN` pruned EVERY
+    finite candidate before the loud ANSI failure could surface. The
+    kth is now computed over finite cosines only, so the margin
+    superset of finite survivors holds regardless of NaN count."""
+    k = 2
+    q = _bucket(4, seed=11)
+    c = _bucket(12, seed=12).rename(columns={"qid": "nid"})
+    ivs = list(c["iv"])
+    for i in range(k + 2):  # more zero-norm candidates than topk+1
+        ivs[i] = np.zeros(16, dtype=np.int64)
+        c.loc[i, "ns"] = 0
+    c["iv"] = ivs
+    pruned = similarity._gemm_pairs(q, c, topk=k)
+    finite = pruned[pruned["cns"] > 0]
+    # every query keeps at least its k best finite candidates
+    assert (finite.groupby("qid").size() >= k).all()
+    # and the non-finite rows are still there for downstream to raise on
+    assert (pruned["cns"] == 0).sum() == 4 * (k + 2)

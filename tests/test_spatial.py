@@ -213,3 +213,25 @@ def test_box_overlap_join_matches_bruteforce(spark):
     assert got == sorted(brute)
     # the closed-open edge touch (4 vs 12) must NOT be a pair
     assert (4, 12) not in {(x, y) for x, y, _ in got}
+
+
+def test_box_overlap_join_rejects_inverted_box(spark):
+    """r4 ADVICE: an inverted box made F.sequence generate a DESCENDING
+    cell range, silently fanning the row across cells (the interval
+    filter then dropped the pairs, hiding the contract violation). The
+    in-plan assert_true now fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from inputosm_spark.operators import spatial
+
+    good = spark.createDataFrame(
+        [("a0", 0, 10_000, 0, 10_000)],
+        "a_id string, lat0 long, lat1 long, lon0 long, lon1 long",
+    )
+    bad = spark.createDataFrame(
+        [("b0", 20_000, 10_000, 0, 10_000)],  # lat1 <= lat0
+        "b_id string, lat0 long, lat1 long, lon0 long, lon1 long",
+    )
+    with pytest.raises(Exception, match="inverted box"):
+        spatial.box_overlap_join(good, bad).collect()
