@@ -120,6 +120,7 @@ HEADLINE = [
     "media_features",
     "tpch_q6_forecast",
     "approx_distinct_cells",
+    "simhash_sharded",
 ]
 
 

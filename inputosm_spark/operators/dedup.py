@@ -295,11 +295,98 @@ def simhash(documents: DataFrame, text_col: str = "text", bits: int = 16) -> Dat
     guard = F.assert_true(
         n <= F.lit(32766),
         F.lit("simhash: >32766 distinct tokens in one document "
-              "overflow the packed bit-count lanes; shard the doc"),
+              "overflow the packed bit-count lanes; use "
+              "simhash_sharded for corpora with such documents"),
     )
     return summed.select(
         "doc_id", (sig + F.coalesce(guard.cast("long"), F.lit(0))).alias("simhash")
     )
+
+
+def simhash_sharded(
+    documents: DataFrame,
+    text_col: str = "text",
+    bits: int = 16,
+    n_shards: int = 64,
+) -> DataFrame:
+    """SimHash for corpora containing OVER-CAP documents (> 32766
+    distinct tokens, `simhash`'s packed-lane capacity; r4 verdict
+    directive #6 / TODO #5): tokens pre-shard by POSITION in the
+    distinct-token array (`pos % n_shards` — perfectly balanced and
+    content-independent, per the engine's position-not-content salting
+    rule), level 1 computes the same lane-packed sums per (doc_id,
+    shard) — each shard holds <= ceil(n/n_shards) tokens, guarded
+    in-plan — and level 2 UNPACKS the lanes and sums plain longs per
+    doc, where int64 absorbs any real corpus. Capacity: n_shards *
+    32766 (~2.1M distinct tokens/doc at the default 64). The signature
+    FUNCTION is identical to `simhash` (pytest-proven bit-equality on
+    in-cap docs), so every simhash oracle replays unchanged.
+
+    Scale shape: TWO narrow shuffles — (doc_id, shard) carrying the
+    same ~bits/4+1 packed longs, then doc_id over <= n_shards rows per
+    doc. Use when monster documents are actually expected; `simhash`'s
+    single-shuffle plan is the default and RAISES loudly on over-cap
+    docs rather than degrading.
+    """
+    from inputosm_spark.operators import ensure_parallelism
+
+    if not 1 <= bits <= 64:
+        raise ValueError(f"simhash bits must be in [1, 64], got {bits}")
+    tokens = ensure_parallelism(documents).select(
+        "doc_id",
+        F.posexplode(
+            F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+        ).alias("__pos", "tok"),
+    )
+    h = F.md5("tok")
+    n_digits = (bits + 3) // 4
+    packed = tokens.select(
+        "doc_id",
+        F.pmod("__pos", F.lit(n_shards)).alias("__shard"),
+        *[
+            _packed_lane_lookup(
+                F.conv(h.substr(d + 1, 1), 16, 10).cast("int"),
+                min(4, bits - 4 * d),
+            ).alias(f"p{d}")
+            for d in range(n_digits)
+        ],
+    )
+    lvl1 = packed.groupBy("doc_id", "__shard").agg(
+        *[F.sum(f"p{d}").alias(f"s{d}") for d in range(n_digits)],
+        F.count("*").alias("__n"),
+    )
+    # per-shard lane guard: shards are balanced (positions round-robin),
+    # so this bounds the doc's distinct tokens at n_shards * 32766
+    guard = F.assert_true(
+        F.col("__n") <= F.lit(32766),
+        F.lit("simhash_sharded: shard over lane capacity — document "
+              "has more than n_shards * 32766 distinct tokens"),
+    )
+    unpacked = lvl1.select(
+        "doc_id",
+        (F.col("__n") + F.coalesce(guard.cast("long"), F.lit(0))).alias("__n"),
+        *[
+            F.shiftright(F.col(f"s{j // 4}"), _LANE * (j % 4))
+            .bitwiseAND(F.lit((1 << _LANE) - 1))
+            .alias(f"b{j}")
+            for j in range(bits)
+        ],
+    )
+    lvl2 = unpacked.groupBy("doc_id").agg(
+        F.sum("__n").alias("__n"),
+        *[F.sum(f"b{j}").alias(f"b{j}") for j in range(bits)],
+    )
+    n = F.col("__n")
+    sig = None
+    for j in range(bits):
+        # same sign test and bit weights as `simhash` (bit 63 packs as
+        # the int64 sign bit)
+        weight = (1 << j) if j < 63 else -(1 << 63)
+        term = F.when(
+            F.col(f"b{j}") * 2 > n, F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return lvl2.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_band_candidates(

@@ -52,23 +52,43 @@ def register(name: str, oracle: str | None = None):
 # the back (they remain covered by scripts/check_oracles.py, which
 # always runs the full set).
 _DRIVER_WINDOW_FIRST = [
-    # round-4: new or behavior-adjacent this round
+    # round-5: new or behavior-changed this round
+    "pbf_roundtrip",       # r4's only red — TZ fix must get a green row
+    "simhash_sharded",     # new monster-doc path
+    "bigram_familiarity",  # build-scoped cache + literal common set
+    "box_overlap_join",    # inverted-box in-plan guard
+    "rolling_fingerprint",  # flat-batch kernel rewrite
+    "winnow_sketch",        # flat-batch kernel rewrite
+    # TZ-pin-affected (all queries deriving timestamps; the pin changes
+    # what the driver session evaluates under a non-UTC host)
+    "cohort_retention",
+    "cumulative_daily_events",
+    "interval_join_windows",
+    "asof_user_state",
+    "asof_user_state_fwd",
+    "asof_user_state_nearest",
+    "funnel_stages",
+    "event_windows",
+    "tpch_q6_forecast",
+    "event_percentiles",
+    # kth-over-finite-cosines change (gemm kernels)
+    "ivf_topk",
+    "ivf_kmeans_topk",
+    "ann_lsh_topk",
+    "ann_lsh_topk_w16",
+    "embedding_near_dup",
+    "cosine_topk",
+    # round-4 additions: keep a second driver round of coverage
     "ring_density",
     "tile_pyramid",
-    "box_overlap_join",
-    "bigram_familiarity",
     "domain_cap",
     "split_leakage",
     "span_fingerprint",
-    "ann_lsh_topk_w16",
     "simhash_near_dup",
     "token_shards",
     "heavy_hitter_terms",
     "contamination_overlap",
     "minhash_signatures",
-    "embedding_near_dup",
-    # round-3 additions never driver-checked
-    "pbf_roundtrip",
     "sql_cell_rollup",
     "way_length",
     "way_area",
@@ -76,24 +96,11 @@ _DRIVER_WINDOW_FIRST = [
     "zorder_cells",
     "tfidf_top_terms",
     "repetition_score",
-    "funnel_stages",
-    "cohort_retention",
-    "asof_user_state_fwd",
-    "asof_user_state_nearest",
-    # older entries outside every previous driver window
-    "asof_user_state",
-    "interval_join_windows",
-    "event_percentiles",
-    "cumulative_daily_events",
     "hash_split",
     "stratified_sample",
     "intersect_users",
     "training_pipeline",
-    "rolling_fingerprint",
-    "ivf_topk",
     "pip_join_shuffle",
-    "winnow_sketch",
-    "ivf_kmeans_topk",
 ]
 
 
@@ -825,6 +832,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     return dedup.simhash(docs, bits=16)
+
+
+@register("simhash_sharded")  # oracle: shared with `simhash`, set below
+def q_simhash_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monster-document SimHash path (dedup.simhash_sharded —
+    two-level position-sharded lane sums, capacity n_shards * 32766
+    distinct tokens/doc) under the SAME oracle as `simhash`: the
+    signature function is identical, so the DuckDB replay is shared —
+    a driver hash-match proves the sharded carry reassembles the
+    bit counts exactly."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return dedup.simhash_sharded(docs, bits=16, n_shards=8)
+
+
+_ORACLES["simhash_sharded"] = _ORACLES["simhash"]
 
 
 # --- text analysis -----------------------------------------------------------
