@@ -121,6 +121,10 @@ HEADLINE = [
     "tpch_q6_forecast",
     "approx_distinct_cells",
     "simhash_sharded",
+    "pii_scrub",
+    "doc_chunks",
+    "pagerank",
+    "segment_join",
 ]
 
 

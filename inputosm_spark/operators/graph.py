@@ -118,3 +118,78 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
     )
     return labels.unionAll(roots)
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-point integer PageRank over a directed edge list — the
+    link-graph document-quality prior of web-corpus curation (the
+    reference has no graph operators; this extends the dedup CC stack
+    with the other classic iterative graph computation).
+
+    ALL arithmetic is integer (ranks scaled by `scale`, floor
+    division), so a DuckDB oracle replays every iteration bit-for-bit
+    (the engine's exact-integer float rule, CLAUDE.md): contribution of
+    node u = rank(u) // outdeg(u); rank'(v) = base + damping_num *
+    (sum of in-contributions) // damping_den, with base =
+    scale * (damping_den - damping_num) // damping_den. Dangling nodes
+    (no out-edges) simply contribute nothing — no redistribution term,
+    and the SQL twin states the same contract.
+
+    Scale shape: the (edges JOIN outdeg) frame is loop-invariant —
+    built once, repartitioned by src and localCheckpoint-severed, so
+    each iteration is ONE src-shuffle of the narrow rank table + ONE
+    dst-aggregation; the edge list itself never re-shuffles. The
+    per-iteration frames are plain lazy plans (iters is small and
+    bounded; for deep iteration counts sever lineage per round like
+    connected_components does).
+    """
+    base = scale * (damping_den - damping_num) // damping_den
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
+    # loop-invariant: edges carrying their source out-degree, severed so
+    # every iteration reuses the materialized RDD instead of replanning
+    ed = (
+        edges.join(deg, "src")
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iters):
+        agg = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                "dst",
+                F.floor(F.col("rank") / F.col("__deg"))
+                .cast("long")
+                .alias("__c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            nodes.join(agg.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.floor(
+                        F.lit(damping_num)
+                        * F.coalesce(F.col("__s"), F.lit(0))
+                        / F.lit(damping_den)
+                    )
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return ranks

@@ -235,3 +235,59 @@ def token_shards(
             ).cast("long").alias("shard"),
         )
     )
+
+
+def doc_chunks(
+    documents: DataFrame,
+    size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-size token CHUNKING (training-sequence /
+    retrieval-window prep): document tokens split into windows of
+    `size` tokens advancing by `size - overlap`, the last window
+    clamped at the end. Pure Catalyst column math — split, an exploded
+    integer sequence of chunk starts, slice, array_join; no shuffle
+    beyond the source scan, no UDF — so a 100 TB corpus chunks as a
+    map-only pass. chunk_id and boundaries are deterministic functions
+    of the token count, replayed exactly by the DuckDB oracle's list
+    slicing."""
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    stride = size - overlap
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("long"), F.lit(1)
+    )
+    return (
+        documents.select("doc_id", words.alias("__w"), n_chunks.alias("__nc"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias(
+                "chunk_id"
+            ),
+            F.col("__w"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.array_join(
+                F.slice(
+                    F.col("__w"),
+                    (F.col("chunk_id") * stride + 1).cast("int"),
+                    size,
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.size(F.col("__w")) - F.col("chunk_id") * stride,
+                F.lit(size),
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )

@@ -543,3 +543,103 @@ def box_overlap_join(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# segment-intersection (proper-crossing) spatial join
+# ---------------------------------------------------------------------------
+
+
+def _seg_cells(df: DataFrame, grid: int) -> DataFrame:
+    """Explode each segment (x0,y0)-(x1,y1) into the grid cells of its
+    bounding box — INCLUSIVE floor-divided ranges over least/greatest,
+    so degenerate (axis-parallel or zero-length) segments cover their
+    single row/column of cells rather than tripping an emptiness guard
+    (unlike `_grid_cells`, whose closed-open boxes must be non-empty).
+    The bbox cover is a proven superset of the cells the segment
+    touches; the exact crossing test prunes the slack."""
+    g = F.lit(grid)
+    out = df.withColumn(
+        "__ci",
+        F.explode(
+            F.sequence(
+                F.floor(F.least("y0", "y1") / g),
+                F.floor(F.greatest("y0", "y1") / g),
+            )
+        ),
+    )
+    return out.withColumn(
+        "__cj",
+        F.explode(
+            F.sequence(
+                F.floor(F.least("x0", "x1") / g),
+                F.floor(F.greatest("x0", "x1") / g),
+            )
+        ),
+    )
+
+
+def segment_intersection_join(
+    a_segs: DataFrame,
+    b_segs: DataFrame,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+    grid: int = 100_000,
+) -> DataFrame:
+    """PROPER-CROSSING segment intersection join: all (a, b) pairs
+    whose open segments strictly cross — the computational-geometry
+    core of road/boundary overlay analytics (reference analog: the way
+    geometry assembly feeding `extract_ferries`-style pipelines,
+    /root/reference/examples/; the reference itself never intersects
+    geometries — engine extension).
+
+    Exactness: integer orientation tests only. With d1,d2 the cross
+    products of segment CD against A and B, and d3,d4 of AB against C
+    and D, a strict crossing is (d1,d2 opposite signs) AND (d3,d4
+    opposite signs). Collinear overlaps and endpoint touches are
+    EXCLUDED by contract (no epsilon anywhere; the DuckDB oracle
+    replays the identical integer formula). Coordinates up to ~2^30
+    are safe: cross products stay < 2^62.
+
+    Scale shape: candidates come from an equi-join on covering grid
+    cells of each segment's bbox (never a cartesian / theta join —
+    same plan contract as box_overlap_join); DISTINCT dedups pairs
+    found in several cells. Long diagonal segments inflate the bbox
+    cover quadratically — pick `grid` at or above the typical segment
+    length, exactly like the box join's cell sizing.
+    """
+    a = _seg_cells(
+        a_segs.select(
+            F.col(a_id),
+            F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
+            F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+            F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"),
+        ),
+        grid,
+    ).drop("x0", "y0", "x1", "y1")
+    b = _seg_cells(
+        b_segs.select(
+            F.col(b_id),
+            F.col("x0").alias("bx0"), F.col("y0").alias("by0"),
+            F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+            F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"),
+        ),
+        grid,
+    ).drop("x0", "y0", "x1", "y1")
+
+    def cross(ox, oy, px, py, qx, qy):
+        return (F.col(px) - F.col(ox)) * (F.col(qy) - F.col(oy)) - (
+            F.col(py) - F.col(oy)
+        ) * (F.col(qx) - F.col(ox))
+
+    d1 = cross("bx0", "by0", "bx1", "by1", "ax0", "ay0")
+    d2 = cross("bx0", "by0", "bx1", "by1", "ax1", "ay1")
+    d3 = cross("ax0", "ay0", "ax1", "ay1", "bx0", "by0")
+    d4 = cross("ax0", "ay0", "ax1", "ay1", "bx1", "by1")
+    opposite = lambda u, v: ((u > 0) & (v < 0)) | ((u < 0) & (v > 0))  # noqa: E731
+    return (
+        a.join(b, ["__ci", "__cj"])
+        .filter(opposite(d1, d2) & opposite(d3, d4))
+        .select(a_id, b_id)
+        .distinct()
+    )

@@ -443,3 +443,34 @@ def repetition_score(documents: DataFrame, text_col: str = "text",
         n_distinct.cast("long").alias("n_distinct"),
         F.round(F.lit(1.0) - n_distinct / n_total, 4).alias("rep_ratio"),
     )
+
+
+_PII_PATTERNS = {
+    # shared Java-regex / RE2 subset: explicit classes, no \d or
+    # lookarounds, so Spark and DuckDB compile the IDENTICAL pattern
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"\+[0-9]{7,15}",
+}
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + scrubbing pass (training-data curation): counts
+    of email / IPv4 / phone patterns per document and the text with
+    every match replaced by a typed placeholder — map-only column
+    math (regexp_count / regexp_replace run JVM-side), zero shuffle,
+    zero UDF. The pattern set is the deliberately conservative
+    high-precision core; the DuckDB oracle replays the identical
+    regexes (dialect-shared subset: no \\d, no lookarounds)."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat in _PII_PATTERNS.items():
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[{name.upper()}]")
+    return documents.select(
+        "doc_id", *counts, F.md5(scrubbed).alias("scrubbed_md5")
+    )

@@ -55,6 +55,10 @@ _DRIVER_WINDOW_FIRST = [
     # round-5: new or behavior-changed this round
     "pbf_roundtrip",       # r4's only red — TZ fix must get a green row
     "simhash_sharded",     # new monster-doc path
+    "pii_scrub",           # new: map-only PII detect+scrub
+    "doc_chunks",          # new: overlapping token chunking
+    "pagerank",            # new: fixed-point integer link-graph prior
+    "segment_join",        # new: proper-crossing segment intersection
     "bigram_familiarity",  # build-scoped cache + literal common set
     "box_overlap_join",    # inverted-box in-plan guard
     "rolling_fingerprint",  # flat-batch kernel rewrite
@@ -3594,3 +3598,232 @@ def q_ring_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded.groupBy(F.col("ncell").alias("cell"))
         .agg(F.sum("w").cast("long").alias("density"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5 — corpus-curation + graph/geometry breadth: PII scrubbing,
+# chunking, link-graph PageRank, segment-intersection join
+# ---------------------------------------------------------------------------
+
+
+_PII_AUG_SQL = """
+    text || CASE WHEN doc_id % 5 = 0
+                 THEN ' user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' +1415555' || (1000 + doc_id % 1000) ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' 10.0.' || (doc_id % 256) || '.1' ELSE '' END
+"""
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(t,
+                '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}'))
+                AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '\\+[0-9]{{7,15}}')) AS BIGINT)
+             AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '[EMAIL]', 'g'),
+                '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}',
+                '[IPV4]', 'g'),
+                '\\+[0-9]{{7,15}}', '[PHONE]', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + scrub (operators/textstats.pii_scrub) over a
+    corpus DETERMINISTICALLY augmented with synthetic emails / phones /
+    IPs (the testdata text contains none, and an all-zero count column
+    is no correctness signal) — map-only regexp_count/regexp_replace,
+    zero shuffle; the oracle replays the identical regexes and the
+    identical replacement ORDER (email -> ipv4 -> phone), hash-gated
+    through the scrubbed-text md5."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", F.lit(5)) == 0,
+                F.concat(F.lit(" user"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod("doc_id", F.lit(7)) == 0,
+                F.concat(F.lit(" +1415555"),
+                         (F.pmod("doc_id", F.lit(1000)) + 1000).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod("doc_id", F.lit(11)) == 0,
+                F.concat(F.lit(" 10.0."),
+                         F.pmod("doc_id", F.lit(256)).cast("string"),
+                         F.lit(".1")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textstats.pii_scrub(aug)
+
+
+@register(
+    "doc_chunks",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, w,
+             greatest(CAST(ceil((len(w) - 8) / 24.0) AS BIGINT), 1) AS nc
+      FROM w
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(w[i*24 + 1 : i*24 + 32], ' ') AS chunk_text,
+           CAST(least(len(w) - i*24, 32) AS BIGINT) AS n_tokens
+    FROM base, unnest(range(0, nc)) AS t(i)
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking (operators/sampling.doc_chunks,
+    size=32 overlap=8): training-sequence / retrieval-window prep as a
+    map-only pass — split, exploded start sequence, slice, array_join;
+    the oracle replays the identical boundary math with DuckDB list
+    slicing."""
+    from inputosm_spark.operators import sampling
+
+    return sampling.doc_chunks(
+        _t(spark, sf_dir, "documents"), size=32, overlap=8
+    )
+
+
+_PR_EDGES_SQL = """
+    SELECT DISTINCT l_suppkey AS src, 100000 + l_partkey AS dst
+    FROM lineitem
+"""
+_PR_ITER_SQL = """
+    SELECT n.node,
+           CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+    FROM nodes n LEFT JOIN (
+      SELECT e.dst AS node, sum(r.rank // d.deg) AS s
+      FROM e JOIN {prev} r ON r.node = e.src
+             JOIN deg d ON d.src = e.src
+      GROUP BY 1
+    ) s USING (node)
+"""
+
+
+@register(
+    "pagerank",
+    oracle=f"""
+    WITH e AS ({_PR_EDGES_SQL}),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+    r1 AS ({_PR_ITER_SQL.format(prev="r0")}),
+    r2 AS ({_PR_ITER_SQL.format(prev="r1")}),
+    r3 AS ({_PR_ITER_SQL.format(prev="r2")})
+    SELECT node, rank FROM r3
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (operators/graph.pagerank, 3
+    iterations) over the supplier->part link graph from lineitem — the
+    web-graph document-quality prior of corpus curation, all-integer
+    so the oracle unrolls the exact same three iterations as CTEs."""
+    from inputosm_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 100000).alias("dst"),
+    ).distinct()
+    return graph.pagerank(edges, iters=3)
+
+
+_SEG_B_SQL = """
+    SELECT 'road' || CAST(id AS VARCHAR) AS b_id,
+           CAST(-900000 + (id % 9) * 200000 AS BIGINT) AS x0,
+           CAST(-400000 + (id // 9) * 160000 AS BIGINT) AS y0,
+           CAST(-900000 + (id % 9) * 200000
+                + 150000 - (id % 4) * 90000 AS BIGINT) AS x1,
+           CAST(-400000 + (id // 9) * 160000
+                + 120000 - (id % 3) * 110000 AS BIGINT) AS y1
+    FROM range(0, 45) AS t(id)
+"""
+
+
+@register(
+    "segment_join",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id AS a_id,
+             CAST({_LON_SQL} AS BIGINT) AS x0,
+             CAST({_LAT_SQL} AS BIGINT) AS y0,
+             CAST({_LON_SQL} + ((doc_id % 17) - 8) * 9000 AS BIGINT) AS x1,
+             CAST({_LAT_SQL} + ((doc_id % 23) - 11) * 7000 AS BIGINT) AS y1
+      FROM documents
+    ),
+    b AS ({_SEG_B_SQL})
+    SELECT a_id, b_id
+    FROM a, b
+    WHERE (((b.x1 - b.x0) * (a.y0 - b.y0)
+            - (b.y1 - b.y0) * (a.x0 - b.x0) > 0
+        AND (b.x1 - b.x0) * (a.y1 - b.y0)
+            - (b.y1 - b.y0) * (a.x1 - b.x0) < 0)
+        OR ((b.x1 - b.x0) * (a.y0 - b.y0)
+            - (b.y1 - b.y0) * (a.x0 - b.x0) < 0
+        AND (b.x1 - b.x0) * (a.y1 - b.y0)
+            - (b.y1 - b.y0) * (a.x1 - b.x0) > 0))
+      AND (((a.x1 - a.x0) * (b.y0 - a.y0)
+            - (a.y1 - a.y0) * (b.x0 - a.x0) > 0
+        AND (a.x1 - a.x0) * (b.y1 - a.y0)
+            - (a.y1 - a.y0) * (b.x1 - a.x0) < 0)
+        OR ((a.x1 - a.x0) * (b.y0 - a.y0)
+            - (a.y1 - a.y0) * (b.x0 - a.x0) < 0
+        AND (a.x1 - a.x0) * (b.y1 - a.y0)
+            - (a.y1 - a.y0) * (b.x1 - a.x0) > 0))
+    """,
+)
+def q_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper-crossing segment intersection join
+    (operators/spatial.segment_intersection_join): document
+    displacement segments x a synthesized road grid, candidates from
+    covering-grid-cell equi-join (never cartesian — same plan contract
+    as box_overlap_join), exactness from integer orientation tests the
+    oracle replays as a brute-force all-pairs filter."""
+    from inputosm_spark.operators import spatial
+
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    a = docs.select("doc_id", lat, lon).select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lon_e4").alias("x0"),
+        F.col("lat_e4").alias("y0"),
+        (F.col("lon_e4")
+         + (F.pmod("doc_id", F.lit(17)) - 8) * 9000).alias("x1"),
+        (F.col("lat_e4")
+         + (F.pmod("doc_id", F.lit(23)) - 11) * 7000).alias("y1"),
+    )
+    rid = F.col("id")
+    bx0 = F.lit(-900000) + F.pmod(rid, F.lit(9)) * 200000
+    by0 = F.lit(-400000) + F.floor(rid / 9) * 160000
+    b = spark.range(45).select(
+        F.concat(F.lit("road"), rid.cast("string")).alias("b_id"),
+        bx0.cast("long").alias("x0"),
+        by0.cast("long").alias("y0"),
+        (bx0 + 150000 - F.pmod(rid, F.lit(4)) * 90000)
+        .cast("long").alias("x1"),
+        (by0 + 120000 - F.pmod(rid, F.lit(3)) * 110000)
+        .cast("long").alias("y1"),
+    )
+    return spatial.segment_intersection_join(a, b, grid=100_000)

@@ -114,6 +114,20 @@ CHECKS: dict[str, list[str]] = {
         r"windowspecdefinition\(__sb#\d+L, __bck",
         r"BroadcastNestedLoopJoin",
     ],
+    # round 5: PII scrub is a map-only pass over the pruned 2-col scan
+    "pii_scrub": [r"ReadSchema: struct<doc_id:bigint,text:string>"],
+    # chunking is explode + slice over the scan — map-only
+    "doc_chunks": [
+        r"Generate",
+        r"ReadSchema: struct<doc_id:bigint,text:string>",
+    ],
+    # pagerank: loop-invariant (edges x outdeg) is checkpoint-severed
+    # (ExistingRDD scan) so iterations reuse the materialized RDD;
+    # rank updates are map-side-combined aggregations
+    "pagerank": [r"HashAggregate", r"ExistingRDD"],
+    # segment intersection: equi-join on covering cells, like
+    # box_overlap_join — never a theta/cross join (see ANTI)
+    "segment_join": [r"Join"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
@@ -154,6 +168,10 @@ ANTI_CHECKS: dict[str, list[str]] = {
         r"windowspecdefinition\(doc_id#\d+L ASC",
         r"windowspecdefinition\(0,",
     ],
+    # map-only means NO exchange of any kind in the plan
+    "pii_scrub": [r"Exchange"],
+    "doc_chunks": [r"Exchange"],
+    "segment_join": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
 }
 
 
