@@ -125,6 +125,8 @@ HEADLINE = [
     "doc_chunks",
     "pagerank",
     "segment_join",
+    "geohash_cells",
+    "simplify_ways",
 ]
 
 

@@ -137,6 +137,96 @@ def morton_sql(lat_sql: str, lon_sql: str, res: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _gh_quant(v: Column, vmax_e4: int, bits: int) -> Column:
+    """floor((v + vmax) * 2^bits / (2*vmax)), clamped to the top bin —
+    binary-subdivision geohash quantization on e4 fixed-point ints.
+    Products stay < 2^41 and double division cannot cross an integer
+    boundary at these magnitudes, so Spark's double-floor equals the
+    oracle's integer floor-div exactly."""
+    q = F.floor((v + F.lit(vmax_e4)) * F.lit(1 << bits) / F.lit(2 * vmax_e4))
+    return F.least(q, F.lit((1 << bits) - 1)).cast("long")
+
+
+def geohash_expr(lat_e4: Column | str, lon_e4: Column | str,
+                 precision: int = 6) -> Column:
+    """Standard base32 geohash string of an e4 fixed-point point —
+    pure integer Catalyst (quantize, MSB-first bit interleave with
+    longitude on even positions, 5-bit base32 chars), unrolled at
+    plan-build time like morton_expr. `precision` must be even so lat
+    and lon carry equal bits (6 chars ~ +-0.6 km)."""
+    if precision % 2 != 0:
+        raise ValueError("geohash precision must be even")
+    half = 5 * precision // 2
+    lonq = _gh_quant(_col(lon_e4), geo.LON_MAX_E4, half)
+    latq = _gh_quant(_col(lat_e4), geo.LAT_MAX_E4, half)
+    total = 5 * precision
+    code: Column = F.lit(0).cast("long")
+    for j in range(half):
+        code = code + F.shiftleft(
+            F.shiftright(lonq, half - 1 - j).bitwiseAND(F.lit(1)),
+            total - 1 - 2 * j,
+        )
+        code = code + F.shiftleft(
+            F.shiftright(latq, half - 1 - j).bitwiseAND(F.lit(1)),
+            total - 2 - 2 * j,
+        )
+    chars = [
+        F.substring(
+            F.lit(_GH32),
+            (
+                F.shiftright(code, total - 5 * (c + 1)).bitwiseAND(F.lit(31))
+                + 1
+            ).cast("int"),
+            1,
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_code_sql(lat_sql: str, lon_sql: str, precision: int = 6) -> str:
+    """The interleaved integer CODE as an ANSI fragment (oracle twin of
+    geohash_expr's internals); wrap it in a CTE column and emit chars
+    with geohash_chars_sql."""
+    if precision % 2 != 0:
+        raise ValueError("geohash precision must be even")
+    half = 5 * precision // 2
+    total = 5 * precision
+    lonq = (
+        f"least((({lon_sql}) + {geo.LON_MAX_E4}) * {1 << half}"
+        f" // {2 * geo.LON_MAX_E4}, {(1 << half) - 1})"
+    )
+    latq = (
+        f"least((({lat_sql}) + {geo.LAT_MAX_E4}) * {1 << half}"
+        f" // {2 * geo.LAT_MAX_E4}, {(1 << half) - 1})"
+    )
+    terms = []
+    for j in range(half):
+        terms.append(
+            f"((({lonq}) // {1 << (half - 1 - j)}) % 2)"
+            f" * {1 << (total - 1 - 2 * j)}"
+        )
+        terms.append(
+            f"((({latq}) // {1 << (half - 1 - j)}) % 2)"
+            f" * {1 << (total - 2 - 2 * j)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def geohash_chars_sql(code_col: str, precision: int = 6) -> str:
+    """concat of base32 chars from an integer code column."""
+    total = 5 * precision
+    parts = [
+        f"substr('{_GH32}', CAST((({code_col}) // {1 << (total - 5 * (c + 1))})"
+        f" % 32 + 1 AS INT), 1)"
+        for c in range(precision)
+    ]
+    return " || ".join(parts)
+
+
 def dist2_expr(lat1, lon1, lat2, lon2) -> Column:
     dlat = _col(lat1) - _col(lat2)
     dlon = _col(lon1) - _col(lon2)

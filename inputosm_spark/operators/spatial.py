@@ -643,3 +643,53 @@ def segment_intersection_join(
         .select(a_id, b_id)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# polyline simplification (perpendicular-deviation vertex filter)
+# ---------------------------------------------------------------------------
+
+
+def simplify_polyline(
+    points: DataFrame,
+    eps: int,
+    way_col: str = "way_id",
+    order_cols: tuple[str, ...] = ("pos",),
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """One-pass polyline simplification: an interior vertex survives
+    iff its perpendicular deviation from the chord of its immediate
+    neighbors exceeds `eps` (endpoints always survive) — the windowed,
+    oracle-replayable member of the simplification family (Douglas-
+    Peucker is inherently sequential-recursive; this is the standard
+    streaming approximation used when one pass over sorted vertices is
+    all a 100 TB corpus affords).
+
+    Exactness: |cross((next-prev), (p-prev))| > eps * floor(sqrt(
+    |next-prev|^2)) — all integer except the floor-sqrt, which is
+    correctly rounded in both engines at these magnitudes (same
+    argument as way_length's segment lengths), so the DuckDB oracle
+    replays the verdict bit-for-bit. The comparison uses
+    floor(|chord|), biasing at most one deviation unit toward KEEPING
+    a vertex — documented contract, never engine-divergent.
+
+    Scale shape: one window per way, partitioned on the way key.
+    Way vertex counts are bounded (OSM caps ways at 2000 nodes), so a
+    per-way window partition never concentrates unbounded rows on one
+    reducer — the situation asof_join's bucketed windows exist for
+    does not arise here.
+    """
+    w = Window.partitionBy(way_col).orderBy(*order_cols)
+    px, py = F.lag(x_col).over(w), F.lag(y_col).over(w)
+    nx, ny = F.lead(x_col).over(w), F.lead(y_col).over(w)
+    dx, dy = nx - px, ny - py
+    cross = dx * (F.col(y_col) - py) - dy * (F.col(x_col) - px)
+    chord = F.floor(F.sqrt(dx * dx + dy * dy))
+    keep = (
+        px.isNull()
+        | nx.isNull()
+        | (F.abs(cross) > F.lit(eps) * chord)
+    )
+    # window expressions can't sit in a filter directly
+    return points.withColumn("__keep", keep).filter("__keep").drop("__keep")

@@ -59,6 +59,8 @@ _DRIVER_WINDOW_FIRST = [
     "doc_chunks",          # new: overlapping token chunking
     "pagerank",            # new: fixed-point integer link-graph prior
     "segment_join",        # new: proper-crossing segment intersection
+    "geohash_cells",       # new: base32 geohash indexing key
+    "simplify_ways",       # new: perpendicular-deviation simplification
     "bigram_familiarity",  # build-scoped cache + literal common set
     "box_overlap_join",    # inverted-box in-plan guard
     "rolling_fingerprint",  # flat-batch kernel rewrite
@@ -3827,3 +3829,102 @@ def q_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("y1"),
     )
     return spatial.segment_intersection_join(a, b, grid=100_000)
+
+
+_GH_PREC = 6
+_GH_LAT, _GH_LON = cells.point_sql("doc_id")
+
+
+@register(
+    "geohash_cells",
+    oracle=f"""
+    WITH pts AS (
+      SELECT doc_id, {_GH_LAT} AS lat, {_GH_LON} AS lon FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             {cells.geohash_code_sql("lat", "lon", _GH_PREC)} AS code
+      FROM pts
+    )
+    SELECT {cells.geohash_chars_sql("code", _GH_PREC)} AS gh,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM c GROUP BY 1
+    """,
+)
+def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base32 geohash bucketing (functions/cells.geohash_expr — pure
+    integer quantize + MSB interleave + char lookup, unrolled at
+    plan-build time like morton_expr): the third spatial indexing key
+    family next to grid cells and Morton codes, with the identical
+    bit math replayed by the oracle's integer SQL twin."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    return (
+        docs.select("doc_id", lat, lon)
+        .select(
+            "doc_id",
+            cells.geohash_expr("lat_e4", "lon_e4", _GH_PREC).alias("gh"),
+        )
+        .groupBy("gh")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
+_SIMP_EPS = 300_000
+
+
+@register(
+    "simplify_ways",
+    oracle=f"""
+    WITH pts AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             {_WAYLEN_LAT} AS lat, {_WAYLEN_LON} AS lon
+      FROM lineitem
+    ),
+    d AS (
+      SELECT l_orderkey, l_linenumber, lat, lon,
+             lag(lat) OVER w AS py, lag(lon) OVER w AS px,
+             lead(lat) OVER w AS qy, lead(lon) OVER w AS qx
+      FROM pts
+      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey)
+    )
+    SELECT l_orderkey AS orderkey,
+           CAST(l_linenumber AS BIGINT) AS pos,
+           CAST(lat AS BIGINT) AS lat_e4,
+           CAST(lon AS BIGINT) AS lon_e4
+    FROM d
+    WHERE px IS NULL OR qx IS NULL
+       OR abs((qx - px) * (lat - py) - (qy - py) * (lon - px)) >
+          {_SIMP_EPS} * CAST(floor(sqrt(
+            (qx - px) * (qx - px) + (qy - py) * (qy - py))) AS BIGINT)
+    """,
+)
+def q_simplify_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perpendicular-deviation polyline simplification
+    (operators/spatial.simplify_polyline) over the assembled ways —
+    endpoints survive, interior vertices survive iff their integer
+    chord deviation exceeds eps; the oracle replays the identical
+    window + integer test."""
+    from inputosm_spark.operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    lat, lon = cells.point_exprs("l_partkey")
+    pts = li.select("l_orderkey", "l_linenumber", "l_partkey", lat, lon)
+    out = spatial.simplify_polyline(
+        pts,
+        eps=_SIMP_EPS,
+        way_col="l_orderkey",
+        order_cols=("l_linenumber", "l_partkey"),
+        x_col="lon_e4",
+        y_col="lat_e4",
+    )
+    return out.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").cast("long").alias("pos"),
+        F.col("lat_e4"),
+        F.col("lon_e4"),
+    )

@@ -128,6 +128,20 @@ CHECKS: dict[str, list[str]] = {
     # segment intersection: equi-join on covering cells, like
     # box_overlap_join — never a theta/cross join (see ANTI)
     "segment_join": [r"Join"],
+    # geohash: unrolled integer expr over the 1-col pruned scan feeding
+    # a map-side-combined aggregation (no UDF anywhere)
+    "geohash_cells": [
+        r"HashAggregate",
+        r"partial_count",
+        r"ReadSchema: struct<doc_id:bigint>",
+    ],
+    # simplification: ONE window partitioned on the way key (bounded
+    # vertex counts per way), over the pruned 3-col scan
+    "simplify_ways": [
+        r"windowspecdefinition\(l_orderkey",
+        r"ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,"
+        r"l_linenumber:int>",
+    ],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
