@@ -127,6 +127,7 @@ HEADLINE = [
     "segment_join",
     "geohash_cells",
     "simplify_ways",
+    "click_attribution",
 ]
 
 

@@ -183,24 +183,42 @@ def _gemm_pairs(qpdf: pd.DataFrame, cpdf: pd.DataFrame,
                     * cns[None, :].astype(np.float64)
                 )
             sel = np.ones((nq, nc), dtype=bool)
+            # non-finite cosines exist ONLY when a zero-norm vector is
+            # in the chunk — check the 1-D norms (nq + nc elements)
+            # once so the happy path never allocates an nq x nc
+            # isfinite/where matrix (r5; the r4 form paid 3 of them)
+            nonfinite = (
+                None
+                if (qns > 0).all() and (cns > 0).all()
+                else ~np.isfinite(cos)
+            )
             if min_cos is not None:
                 # keep non-finite cosines (zero-norm vectors): Spark's
                 # `cos >= t` treats NaN as greater-than-all and KEEPS
                 # them, so dropping here would break the strict-superset
                 # contract — downstream decides their fate, same as topk
-                sel &= (cos >= (min_cos - margin)) | ~np.isfinite(cos)
+                keep_mc = cos >= (min_cos - margin)
+                if nonfinite is not None:
+                    keep_mc |= nonfinite
+                sel &= keep_mc
             if topk is not None and nc > topk + 1:
                 # kth over FINITE cosines only (r4 ADVICE): np.partition
                 # sorts NaN last, so >= topk+1 zero-norm candidates in a
                 # bucket would make kth NaN and `cos >= NaN` all-False,
                 # silently pruning every finite candidate before the
                 # ANSI DIVIDE_BY_ZERO contract fires downstream
-                kth = np.partition(
-                    np.where(np.isfinite(cos), cos, -np.inf),
-                    nc - topk - 1,
-                    axis=1,
-                )[:, nc - topk - 1]
-                sel &= (cos >= (kth - margin)[:, None]) | ~np.isfinite(cos)
+                base = (
+                    cos
+                    if nonfinite is None
+                    else np.where(nonfinite, -np.inf, cos)
+                )
+                kth = np.partition(base, nc - topk - 1, axis=1)[
+                    :, nc - topk - 1
+                ]
+                keep_k = cos >= (kth - margin)[:, None]
+                if nonfinite is not None:
+                    keep_k |= nonfinite
+                sel &= keep_k
             mask = sel if mask is None else (mask & sel)
         if mask is None:
             out = pd.DataFrame(

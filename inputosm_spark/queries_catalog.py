@@ -61,6 +61,7 @@ _DRIVER_WINDOW_FIRST = [
     "segment_join",        # new: proper-crossing segment intersection
     "geohash_cells",       # new: base32 geohash indexing key
     "simplify_ways",       # new: perpendicular-deviation simplification
+    "click_attribution",   # new: stream-stream join's batch twin
     "bigram_familiarity",  # build-scoped cache + literal common set
     "box_overlap_join",    # inverted-box in-plan guard
     "rolling_fingerprint",  # flat-batch kernel rewrite
@@ -3927,4 +3928,41 @@ def q_simplify_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("long").alias("pos"),
         F.col("lat_e4"),
         F.col("lon_e4"),
+    )
+
+
+@register(
+    "click_attribution",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, click_id, purchase_id,
+           CAST(floor(epoch(pts)) AS BIGINT)
+             - CAST(floor(epoch(cts)) AS BIGINT) AS delay_s,
+           strftime(cts, '%Y-%m-%d %H:%M:%S') AS click_at,
+           strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_at
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND pts >= cts
+                 AND pts <= cts + INTERVAL 1 HOUR
+    """,
+)
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution stream-stream join's BATCH TWIN
+    (streaming/events.attribution_join on static frames — identical
+    code path, withWatermark is a no-op in batch): click->purchase
+    pairs of the same user within one hour, hash-gated so the
+    streaming operator's join semantics sit under the driver's oracle,
+    not just the batch-vs-stream pytest."""
+    from inputosm_spark.streaming import events as se
+
+    ev = _t(spark, sf_dir, "events")
+    return se.attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
     )

@@ -465,3 +465,76 @@ def stream_osc_replication(
     )
     q.awaitTermination()
     return q
+
+
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_delay_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join (round-5 §2.7 extension):
+    every (click, purchase) pair of the same user where the purchase
+    lands within `max_delay_s` AFTER the click — the classic
+    attribution join. On streaming inputs Spark plans a
+    StreamingSymmetricHashJoin whose state is BOUNDED by the watermark
+    plus the time-range condition (each side buffers only rows still
+    joinable — the property that makes stream-stream joins viable at
+    100 TB/day); on static frames `withWatermark` is a no-op and the
+    identical plan is the batch twin the pytest AND the
+    `click_attribution` oracle query verify.
+
+    delay_s compares floor-epoch integers on both sides (DuckDB's
+    `epoch()` is fractional; truncating each endpoint first is the
+    engine's cross-dialect convention)."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.make_interval(secs=F.lit(max_delay_s))
+        ),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("delay_s"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_at"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "purchase_at"
+        ),
+    )
+
+
+def run_attribution_stream(
+    events: DataFrame, checkpoint_path: str, out_path: str
+):
+    """Drive attribution_join over one event stream split into its
+    click/purchase legs (a stream-stream SELF join through two
+    filters), draining to parquet."""
+    out = attribution_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

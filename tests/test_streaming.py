@@ -339,3 +339,33 @@ def test_stream_osc_replication_numeric_file_order(spark, tmp_path):
     assert set(rows) == {("node", 100)}
     assert rows[("node", 100)].version == 2
     assert rows[("node", 100)].tags == {"name": "v2"}
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
+    """Round-5 §2.7 extension: the watermarked stream-stream
+    click->purchase attribution join must emit exactly the batch twin's
+    pairs once the stream drains (availableNow)."""
+    import os
+
+    from inputosm_spark.streaming import events as se
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), src / "events.parquet"
+    )
+    stream = se.read_event_stream(spark, str(src))
+    q = se.run_attribution_stream(
+        stream, str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    q.awaitTermination(120)
+
+    batch_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    want = se.attribution_join(
+        batch_events.filter("event_type = 'click'"),
+        batch_events.filter("event_type = 'purchase'"),
+    )
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
