@@ -128,6 +128,8 @@ HEADLINE = [
     "geohash_cells",
     "simplify_ways",
     "click_attribution",
+    "priority_sample",
+    "incremental_dedup",
 ]
 
 

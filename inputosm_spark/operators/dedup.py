@@ -522,3 +522,60 @@ def contamination_overlap(
             .otherwise(0).cast("int").alias("contaminated"),
         )
     )
+
+
+def incremental_dedup_pairs(
+    history: DataFrame,
+    new_batch: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 4,
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: which NEW documents duplicate
+    the HISTORY — the rolling-ingest curation shape. Re-running the
+    corpus SELF-join per arriving batch would re-pay the whole
+    history's pair volume every time; here each side is banded
+    independently and the join is new-bands PROBING history-bands on
+    (band, band_val) — cost scales with the batch and its collisions,
+    never history². (At production scale the history band table is
+    exactly what you persist with plans/layout.write_bucketed_table,
+    making the probe a zero-Exchange bucketed join.)
+
+    Same sliced-digest MinHash family and exact-Jaccard verify as the
+    batch path (`minhash_signatures`/`jaccard_verify`), so the DuckDB
+    oracle replays signatures, banding, candidates and verdicts
+    identically. Returns (doc_a=new, doc_b=history, n_inter, n_a,
+    n_b, jaccard >= threshold).
+    """
+
+    def bands_of(sigs: DataFrame, out_id: str) -> DataFrame:
+        parts = []
+        for b in range(n_bands):
+            cols = [
+                F.col(f"sig_{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ]
+            parts.append(
+                sigs.select(
+                    F.col("doc_id").alias(out_id),
+                    F.lit(b).alias("band"),
+                    F.concat_ws("|", *cols).alias("band_val"),
+                )
+            )
+        out = parts[0]
+        for e in parts[1:]:
+            out = out.unionAll(e)
+        return out
+
+    sh_new = word_shingles(new_batch, text_col=text_col, n=3)
+    sh_old = word_shingles(history, text_col=text_col, n=3)
+    nb = bands_of(minhash_signatures(sh_new, n_hashes), "doc_a")
+    ob = bands_of(minhash_signatures(sh_old, n_hashes), "doc_b")
+    cand = (
+        nb.join(ob, ["band", "band_val"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_verify(cand, sh_new.unionAll(sh_old), threshold)

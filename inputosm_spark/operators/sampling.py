@@ -291,3 +291,31 @@ def doc_chunks(
             .alias("n_tokens"),
         )
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col,
+    key_col: str,
+    k: int,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Deterministic WEIGHTED top-k sample (Efraimidis-Spirakis-style
+    priority sampling with the engine's integer-determinism contract):
+    priority(row) = (weight * scale) // (hash_bucket(key, 9973) + 1),
+    keep the k highest by (priority, key). Higher-weight rows win more
+    of the hash lottery; the whole thing is pure modular-integer math,
+    so membership is a FUNCTION of (key, weight) — stable across runs,
+    engines and corpus growth, like every sampler here.
+
+    Plan shape: a global top-k is TakeOrderedAndProject (no full sort,
+    no window) — each partition keeps k rows, the driver merges
+    k * n_partitions. For k too large for one driver merge, fall back
+    to domain_topk's two-phase window with a constant group.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    pr = (w.cast("long") * F.lit(scale)) / (
+        hash_bucket(key_col, 9973).cast("long") + 1
+    )
+    out = df.withColumn("priority", F.floor(pr).cast("long"))
+    return out.orderBy(F.desc("priority"), F.col(key_col)).limit(k)

@@ -62,6 +62,8 @@ _DRIVER_WINDOW_FIRST = [
     "geohash_cells",       # new: base32 geohash indexing key
     "simplify_ways",       # new: perpendicular-deviation simplification
     "click_attribution",   # new: stream-stream join's batch twin
+    "priority_sample",     # new: deterministic weighted top-k sample
+    "incremental_dedup",   # new: new-batch-vs-history near-dup probe
     "bigram_familiarity",  # build-scoped cache + literal common set
     "box_overlap_join",    # inverted-box in-plan guard
     "rolling_fingerprint",  # flat-batch kernel rewrite
@@ -412,6 +414,7 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from inputosm_spark import geo  # noqa: E402
 from inputosm_spark.operators import dedup, similarity, skew, spatial, textstats  # noqa: E402
+from inputosm_spark.operators import sampling as sampling_mod  # noqa: E402
 from pyspark.sql import Window  # noqa: E402
 
 # --- deterministic box polygons shared between engine and oracle ----------
@@ -3965,4 +3968,95 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.attribution_join(
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+@register(
+    "priority_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, least(n_chars // 50, 100) AS weight FROM documents
+    )
+    SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+           CAST((weight * 1000000000000)
+                // ({sampling_mod.hash_bucket_sql("doc_id", 9973)} + 1)
+                AS BIGINT) AS priority
+    FROM w
+    ORDER BY priority DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted top-k sampling
+    (operators/sampling.priority_sample): integer Efraimidis-Spirakis
+    priorities weight*scale // (hash+1), global top-100 under a total
+    order — plans as TakeOrderedAndProject (no full sort), replayed by
+    the oracle's ORDER BY ... LIMIT."""
+    from inputosm_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(F.floor(F.col("n_chars") / 50), F.lit(100))
+        .cast("long")
+        .alias("weight"),
+    )
+    return sampling.priority_sample(docs, "weight", "doc_id", k=100)
+
+
+@register(
+    "incremental_dedup",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id,
+             min(substr(md5('0|' || shingle), 1, 8)) AS sig_0,
+             min(substr(md5('0|' || shingle), 9, 8)) AS sig_1,
+             min(substr(md5('0|' || shingle), 17, 8)) AS sig_2,
+             min(substr(md5('0|' || shingle), 25, 8)) AS sig_3
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS band_val FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, sig_2 || '|' || sig_3 AS band_val FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS doc_a, h.doc_id AS doc_b
+      FROM bands n JOIN bands h
+        ON n.band = h.band AND n.band_val = h.band_val
+      WHERE CAST(n.doc_id AS BIGINT) % 10 = 7
+        AND CAST(h.doc_id AS BIGINT) % 10 != 7
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                 JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE round(CAST(i.n_inter AS DOUBLE)
+                / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.3
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental new-vs-history near-dup detection
+    (operators/dedup.incremental_dedup_pairs): docs with id % 10 == 7
+    play the arriving batch, the rest the banded history; new bands
+    PROBE history bands (cost scales with the batch, never history²)
+    and exact Jaccard verifies — signatures, banding and verdicts
+    replayed identically by the oracle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text",
+        F.col("doc_id").alias("__id"),
+    )
+    new_batch = docs.filter(F.pmod("__id", F.lit(10)) == 7).drop("__id")
+    history = docs.filter(F.pmod("__id", F.lit(10)) != 7).drop("__id")
+    return dedup.incremental_dedup_pairs(
+        history, new_batch, threshold=0.3
     )

@@ -142,6 +142,11 @@ CHECKS: dict[str, list[str]] = {
         r"ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,"
         r"l_linenumber:int>",
     ],
+    # weighted top-k: global top-k must plan as TakeOrderedAndProject
+    # (per-partition k + driver merge), never a full sort
+    "priority_sample": [r"TakeOrderedAndProject"],
+    # incremental probe: band equi-join, never a cross product
+    "incremental_dedup": [r"Join"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
@@ -186,6 +191,8 @@ ANTI_CHECKS: dict[str, list[str]] = {
     "pii_scrub": [r"Exchange"],
     "doc_chunks": [r"Exchange"],
     "segment_join": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    "priority_sample": [r"\(\d+\) Sort\b"],  # global sort would defeat top-k
+    "incremental_dedup": [r"CartesianProduct"],
 }
 
 
