@@ -142,6 +142,9 @@ CHECKS: dict[str, list[str]] = {
         r"ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,"
         r"l_linenumber:int>",
     ],
+    # stream-stream twin: user-key EQUI-join with the time range as a
+    # post-join predicate — never a pure theta join (see ANTI)
+    "click_attribution": [r"Join.*user|user.*Join|HashJoin|SortMergeJoin"],
     # weighted top-k: global top-k must plan as TakeOrderedAndProject
     # (per-partition k + driver merge), never a full sort
     "priority_sample": [r"TakeOrderedAndProject"],
@@ -193,6 +196,7 @@ ANTI_CHECKS: dict[str, list[str]] = {
     "segment_join": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     "priority_sample": [r"\(\d+\) Sort\b"],  # global sort would defeat top-k
     "incremental_dedup": [r"CartesianProduct"],
+    "click_attribution": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
 }
 
 
