@@ -106,8 +106,9 @@ HEADLINE = [
     "box_overlap_join",
     "tile_pyramid",
     "ring_density",
-    # round-5: the 12 previously-unbenched catalog entries, so the
-    # per-round regression signal covers the FULL 87-query catalog
+    # round-5: the 12 previously-unbenched round-4 classics plus every
+    # round-5 addition — the per-round regression signal covers the
+    # FULL 97-query catalog
     "lat_stat",
     "tag_filter",
     "semi_lookup_join",

@@ -548,7 +548,26 @@ def incremental_dedup_pairs(
     oracle replays signatures, banding, candidates and verdicts
     identically. Returns (doc_a=new, doc_b=history, n_inter, n_a,
     n_b, jaccard >= threshold).
+
+    PRECONDITION (checked loudly): history and new_batch doc_ids must
+    be DISJOINT — a re-delivered id would double its shingle rows in
+    the unioned verify frame and silently skew every Jaccard it
+    touches. The check is one narrow id semi-join at plan-build time
+    (id columns only, pushed to the scans); re-ingest pipelines should
+    drop/supersede the old version first (plans/snapshots is the
+    engine's path for that).
     """
+    overlap = (
+        new_batch.select("doc_id")
+        .join(history.select("doc_id"), "doc_id", "semi")
+        .limit(1)
+        .count()
+    )
+    if overlap:
+        raise ValueError(
+            "incremental_dedup_pairs: history and new_batch share "
+            "doc_ids — supersede the old versions before probing"
+        )
 
     def bands_of(sigs: DataFrame, out_id: str) -> DataFrame:
         parts = []

@@ -150,10 +150,14 @@ def pagerank(
     connected_components does).
     """
     base = scale * (damping_den - damping_num) // damping_den
+    # nodes feeds iters+1 plan branches (initial ranks + every
+    # iteration's left join): checkpoint-sever it like `ed` below, or
+    # each branch re-scans and re-distincts the edge list
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
     # loop-invariant: edges carrying their source out-degree, severed so

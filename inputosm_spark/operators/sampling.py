@@ -304,9 +304,18 @@ def priority_sample(
     priority sampling with the engine's integer-determinism contract):
     priority(row) = (weight * scale) // (hash_bucket(key, 9973) + 1),
     keep the k highest by (priority, key). Higher-weight rows win more
-    of the hash lottery; the whole thing is pure modular-integer math,
-    so membership is a FUNCTION of (key, weight) — stable across runs,
-    engines and corpus growth, like every sampler here.
+    of the hash lottery; membership is a FUNCTION of (key, weight) —
+    stable across runs, engines and corpus growth, like every sampler
+    here.
+
+    Exactness bound: the division runs as a double, exact (floor ==
+    the oracle's integer //) only while weight * scale < 2^53 — i.e.
+    weight <= 9007 at the default scale. An in-plan assert_true
+    enforces it (the engine's loud-failure pattern): an over-bound
+    weight RAISES instead of letting sample membership silently
+    diverge from the oracle near quotient boundaries. For heavier
+    weights pass a smaller `scale` (resolution trades off against the
+    weight range).
 
     Plan shape: a global top-k is TakeOrderedAndProject (no full sort,
     no window) — each partition keeps k rows, the driver merges
@@ -314,8 +323,15 @@ def priority_sample(
     to domain_topk's two-phase window with a constant group.
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    pr = (w.cast("long") * F.lit(scale)) / (
-        hash_bucket(key_col, 9973).cast("long") + 1
+    w_cap = (1 << 53) // scale
+    guard = F.assert_true(
+        w.cast("long") * F.lit(scale) < F.lit(1 << 53),
+        F.lit(f"priority_sample: weight > {w_cap} overflows the exact "
+              "double-division range at this scale; lower `scale`"),
     )
+    pr = (
+        w.cast("long") * F.lit(scale)
+        + F.coalesce(guard.cast("long"), F.lit(0))
+    ) / (hash_bucket(key_col, 9973).cast("long") + 1)
     out = df.withColumn("priority", F.floor(pr).cast("long"))
     return out.orderBy(F.desc("priority"), F.col(key_col)).limit(k)

@@ -143,3 +143,23 @@ def test_pii_scrub_counts_and_replaces(spark):
 
     expect = "mail me at [EMAIL] or call [PHONE]"
     assert rows[0].scrubbed_md5 == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_incremental_dedup_rejects_overlapping_ids(spark):
+    from inputosm_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [("1", "a b c d"), ("2", "e f g h")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="share.*doc_ids|doc_ids"):
+        dedup.incremental_dedup_pairs(df, df)
+
+
+def test_priority_sample_over_bound_weight_raises(spark):
+    from inputosm_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 10_000)], "doc_id long, weight long"  # 1e4 * 1e12 > 2^53
+    )
+    with pytest.raises(Exception, match="priority_sample"):
+        sampling.priority_sample(df, "weight", "doc_id", k=1).collect()
