@@ -131,6 +131,8 @@ HEADLINE = [
     "click_attribution",
     "priority_sample",
     "incremental_dedup",
+    "triangle_count",
+    "event_path_ngrams",
 ]
 
 

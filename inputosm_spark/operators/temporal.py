@@ -416,3 +416,52 @@ def funnel_stages(
             ],
         )
     )
+
+
+def event_path_ngrams(events: DataFrame, n: int = 3) -> DataFrame:
+    """Global counts of length-n event-type PATHS (consecutive steps
+    in each user's time-ordered event sequence) — the funnel-mining /
+    behavioral-motif primitive behind funnel_stages: instead of
+    checking ONE ordered pattern, surface which patterns occur.
+
+    One groupBy(user) shuffle builds each user's sorted type array
+    (total order (ts, event_id) — the ranking-oracle contract), the
+    n-gram structs come from element_at over an exploded start index
+    (per-user sequences are bounded; the struct-tuple form avoids the
+    interpreted per-gram string build, CLAUDE.md), and one counting
+    shuffle aggregates paths globally.
+    """
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    seqs = events.groupBy("user_id").agg(
+        F.transform(arr, lambda s: s.event_type).alias("__types")
+    )
+    m = F.size(F.col("__types")) - (n - 1)
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.struct(
+                *[
+                    F.element_at(F.col("__types"), i + j).alias(f"t{j}")
+                    for j in range(n)
+                ]
+            ),
+        ),
+    ).otherwise(
+        F.expr(
+            "CAST(array() AS array<struct<"
+            + ",".join(f"t{j}:string" for j in range(n))
+            + ">>)"
+        )
+    )
+    exploded = seqs.select(F.explode(grams).alias("g")).select("g.*")
+    return (
+        exploded.groupBy(*[f"t{j}" for j in range(n)])
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.concat_ws(">", *[f"t{j}" for j in range(n)]).alias("path"),
+            "n",
+        )
+    )

@@ -64,6 +64,8 @@ _DRIVER_WINDOW_FIRST = [
     "click_attribution",   # new: stream-stream join's batch twin
     "priority_sample",     # new: deterministic weighted top-k sample
     "incremental_dedup",   # new: new-batch-vs-history near-dup probe
+    "triangle_count",      # new: ordered-wedge co-purchase triangles
+    "event_path_ngrams",   # new: behavioral motif mining
     "bigram_familiarity",  # build-scoped cache + literal common set
     "box_overlap_join",    # inverted-box in-plan guard
     "rolling_fingerprint",  # flat-batch kernel rewrite
@@ -4059,4 +4061,85 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = docs.filter(F.pmod("__id", F.lit(10)) != 7).drop("__id")
     return dedup.incremental_dedup_pairs(
         history, new_batch, threshold=0.3
+    )
+
+
+@register(
+    "triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    per_node AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY 1
+    )
+    SELECT node, n_tri FROM per_node
+    ORDER BY n_tri DESC, node LIMIT 50
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.triangle_counts) over
+    the co-purchase graph (parts sharing an order, canonical ascending
+    edges): ordered-wedge join — each triangle found exactly once as
+    its sorted orientation, two equi-joins, no cartesian — then
+    top-50 nodes under a total order (TakeOrderedAndProject)."""
+    from inputosm_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return (
+        graph.triangle_counts(edges)
+        .orderBy(F.desc("n_tri"), "node")
+        .limit(50)
+    )
+
+
+@register(
+    "event_path_ngrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS tl
+      FROM events GROUP BY user_id
+    ),
+    grams AS (
+      SELECT tl[i + 1] AS t0, tl[i + 2] AS t1, tl[i + 3] AS t2
+      FROM seq, unnest(range(0, greatest(len(tl) - 2, 0))) AS t(i)
+    )
+    SELECT t0 || '>' || t1 || '>' || t2 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM grams GROUP BY t0, t1, t2
+    ORDER BY n DESC, path LIMIT 30
+    """,
+)
+def q_event_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral motif mining (operators/temporal.event_path_ngrams):
+    global counts of 3-step event-type paths in each user's
+    time-ordered sequence, top-30 under a total order — the
+    which-funnels-exist complement to funnel_stages' does-this-funnel
+    convert."""
+    from inputosm_spark.operators import temporal
+
+    return (
+        temporal.event_path_ngrams(_t(spark, sf_dir, "events"), n=3)
+        .orderBy(F.desc("n"), "path")
+        .limit(30)
     )

@@ -150,6 +150,11 @@ CHECKS: dict[str, list[str]] = {
     "priority_sample": [r"TakeOrderedAndProject"],
     # incremental probe: band equi-join, never a cross product
     "incremental_dedup": [r"Join"],
+    # ordered-wedge triangles: two equi-joins + top-k, never cartesian
+    "triangle_count": [r"Join", r"TakeOrderedAndProject"],
+    # motif mining: groupBy user -> counting agg -> top-k
+    "event_path_ngrams": [r"HashAggregate|ObjectHashAggregate",
+                          r"TakeOrderedAndProject"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
@@ -197,6 +202,7 @@ ANTI_CHECKS: dict[str, list[str]] = {
     "priority_sample": [r"\(\d+\) Sort\b"],  # global sort would defeat top-k
     "incremental_dedup": [r"CartesianProduct"],
     "click_attribution": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    "triangle_count": [r"CartesianProduct"],
 }
 
 

@@ -163,3 +163,47 @@ def test_priority_sample_over_bound_weight_raises(spark):
     )
     with pytest.raises(Exception, match="priority_sample"):
         sampling.priority_sample(df, "weight", "doc_id", k=1).collect()
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from inputosm_spark.operators import graph
+
+    rng = np.random.default_rng(5)
+    edges = sorted({(int(min(a, b)), int(max(a, b)))
+                    for a, b in rng.integers(0, 25, size=(90, 2))
+                    if a != b})
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.n_tri for r in graph.triangle_counts(df).collect()}
+
+    es = set(edges)
+    want: dict[int, int] = {}
+    nodes = sorted({n for e in edges for n in e})
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+    assert sum(want.values()) > 0
+
+
+def test_event_path_ngrams_counts(spark):
+    from inputosm_spark.operators import temporal
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (1, 2, "2024-01-01 00:01:00", "b"),
+        (1, 3, "2024-01-01 00:02:00", "c"),
+        (1, 4, "2024-01-01 00:03:00", "a"),
+        (2, 5, "2024-01-01 00:00:00", "a"),
+        (2, 6, "2024-01-01 00:01:00", "b"),
+        (2, 7, "2024-01-01 00:02:00", "c"),
+        (3, 8, "2024-01-01 00:00:00", "x"),  # < n events: no grams
+        (3, 9, "2024-01-01 00:01:00", "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.path: r.n for r in temporal.event_path_ngrams(df, n=3).collect()}
+    assert got == {"a>b>c": 2, "b>c>a": 1}
