@@ -133,6 +133,7 @@ HEADLINE = [
     "incremental_dedup",
     "triangle_count",
     "event_path_ngrams",
+    "geohash_pyramid",
 ]
 
 

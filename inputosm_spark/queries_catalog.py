@@ -66,6 +66,7 @@ _DRIVER_WINDOW_FIRST = [
     "incremental_dedup",   # new: new-batch-vs-history near-dup probe
     "triangle_count",      # new: ordered-wedge co-purchase triangles
     "event_path_ngrams",   # new: behavioral motif mining
+    "geohash_pyramid",     # new: single-shuffle multi-precision rollup
     "bigram_familiarity",  # build-scoped cache + literal common set
     "box_overlap_join",    # inverted-box in-plan guard
     "rolling_fingerprint",  # flat-batch kernel rewrite
@@ -4142,4 +4143,50 @@ def q_event_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         temporal.event_path_ngrams(_t(spark, sf_dir, "events"), n=3)
         .orderBy(F.desc("n"), "path")
         .limit(30)
+    )
+
+
+@register(
+    "geohash_pyramid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT doc_id, {_GH_LAT} AS lat, {_GH_LON} AS lon FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             {cells.geohash_code_sql("lat", "lon", _GH_PREC)} AS code
+      FROM pts
+    ),
+    g AS (SELECT {cells.geohash_chars_sql("code", _GH_PREC)} AS gh FROM c)
+    SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT substr(gh, 1, 2) AS prefix FROM g
+      UNION ALL SELECT substr(gh, 1, 4) FROM g
+      UNION ALL SELECT gh FROM g
+    ) GROUP BY 1
+    """,
+)
+def q_geohash_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-precision geohash rollup — tile_pyramid's single-shuffle
+    contract on the geohash key family: every point fans its 2/4/6-char
+    prefixes map-side (one explode), ONE map-side-combined aggregation
+    produces all three zoom levels (the naive per-level formulation is
+    three scans + three shuffles). Plan-gated single Exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    gh = docs.select("doc_id", lat, lon).select(
+        cells.geohash_expr("lat_e4", "lon_e4", _GH_PREC).alias("gh")
+    )
+    return (
+        gh.select(
+            F.explode(
+                F.array(
+                    F.substring("gh", 1, 2),
+                    F.substring("gh", 1, 4),
+                    F.col("gh"),
+                )
+            ).alias("prefix")
+        )
+        .groupBy("prefix")
+        .agg(F.count("*").alias("n_docs"))
     )

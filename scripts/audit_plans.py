@@ -155,6 +155,12 @@ CHECKS: dict[str, list[str]] = {
     # motif mining: groupBy user -> counting agg -> top-k
     "event_path_ngrams": [r"HashAggregate|ObjectHashAggregate",
                           r"TakeOrderedAndProject"],
+    # all three precisions through ONE map-side-combined shuffle
+    "geohash_pyramid": [
+        r"Generate",
+        r"partial_count",
+        r"ReadSchema: struct<doc_id:bigint>",
+    ],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
@@ -203,6 +209,8 @@ ANTI_CHECKS: dict[str, list[str]] = {
     "incremental_dedup": [r"CartesianProduct"],
     "click_attribution": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     "triangle_count": [r"CartesianProduct"],
+    # one Exchange only — per-level aggregation would be three
+    "geohash_pyramid": [r"\(\d+\) Exchange.*\(\d+\) Exchange"],
 }
 
 
