@@ -524,6 +524,35 @@ def contamination_overlap(
     )
 
 
+def minhash_bands(
+    signatures: DataFrame, n_bands: int = 2, rows_per_band: int = 2
+) -> DataFrame:
+    """(doc_id, band, band_val) LSH band rows from a signature table —
+    the banding shared by the self-join (`lsh_candidate_pairs`), the
+    incremental probe (`incremental_dedup_pairs`), and the persisted
+    bucketed-history path (write the HISTORY's bands with
+    plans/layout.write_bucketed_table keyed on band||'|'||band_val and
+    every future batch probes it with zero Exchange on the history
+    side — plan-asserted in tests/test_round5_ops.py)."""
+    parts = []
+    for b in range(n_bands):
+        cols = [
+            F.col(f"sig_{b * rows_per_band + r}")
+            for r in range(rows_per_band)
+        ]
+        parts.append(
+            signatures.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *cols).alias("band_val"),
+            )
+        )
+    out = parts[0]
+    for e in parts[1:]:
+        out = out.unionAll(e)
+    return out
+
+
 def incremental_dedup_pairs(
     history: DataFrame,
     new_batch: DataFrame,
@@ -569,29 +598,14 @@ def incremental_dedup_pairs(
             "doc_ids — supersede the old versions before probing"
         )
 
-    def bands_of(sigs: DataFrame, out_id: str) -> DataFrame:
-        parts = []
-        for b in range(n_bands):
-            cols = [
-                F.col(f"sig_{b * rows_per_band + r}")
-                for r in range(rows_per_band)
-            ]
-            parts.append(
-                sigs.select(
-                    F.col("doc_id").alias(out_id),
-                    F.lit(b).alias("band"),
-                    F.concat_ws("|", *cols).alias("band_val"),
-                )
-            )
-        out = parts[0]
-        for e in parts[1:]:
-            out = out.unionAll(e)
-        return out
-
     sh_new = word_shingles(new_batch, text_col=text_col, n=3)
     sh_old = word_shingles(history, text_col=text_col, n=3)
-    nb = bands_of(minhash_signatures(sh_new, n_hashes), "doc_a")
-    ob = bands_of(minhash_signatures(sh_old, n_hashes), "doc_b")
+    nb = minhash_bands(
+        minhash_signatures(sh_new, n_hashes), n_bands, rows_per_band
+    ).withColumnRenamed("doc_id", "doc_a")
+    ob = minhash_bands(
+        minhash_signatures(sh_old, n_hashes), n_bands, rows_per_band
+    ).withColumnRenamed("doc_id", "doc_b")
     cand = (
         nb.join(ob, ["band", "band_val"])
         .select("doc_a", "doc_b")

@@ -207,3 +207,61 @@ def test_event_path_ngrams_counts(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     got = {r.path: r.n for r in temporal.event_path_ngrams(df, n=3).collect()}
     assert got == {"a>b>c": 2, "b>c>a": 1}
+
+
+def test_incremental_probe_against_bucketed_history_bands(
+    spark, sf_dir, tmp_path
+):
+    """The 100 TB shape incremental_dedup_pairs documents: persist the
+    HISTORY's LSH bands as a bucketed table keyed on the band value,
+    and a new batch's probe join exchanges ONLY the batch side —
+    plan-asserted (1 Exchange vs 2 for an unbucketed history)."""
+    from pyspark.sql import functions as F
+
+    from inputosm_spark.operators import dedup
+    from inputosm_spark.plans import layout
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text",
+                F.col("doc_id").alias("__id"))
+    )
+    hist = docs.filter(F.pmod("__id", F.lit(10)) != 7).drop("__id")
+    newb = docs.filter(F.pmod("__id", F.lit(10)) == 7).drop("__id")
+    bkey = F.concat_ws("|", F.col("band").cast("string"), "band_val")
+
+    ob = dedup.minhash_bands(
+        dedup.minhash_signatures(dedup.word_shingles(hist, n=3), 4)
+    ).select(F.col("doc_id").alias("doc_b"), bkey.alias("bkey"))
+    nb = dedup.minhash_bands(
+        dedup.minhash_signatures(dedup.word_shingles(newb, n=3), 4)
+    ).select(F.col("doc_id").alias("doc_a"), bkey.alias("bkey"))
+
+    layout.write_bucketed_table(
+        ob, "hist_bands_t", str(tmp_path / "hist_bands"),
+        key="bkey", n_buckets=8,
+    )
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny fixture would broadcast and mask the bucketed layout
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe = spark.table("hist_bands_t").join(nb, "bkey")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # the history side reads its bucketed layout (no Exchange
+        # between the scan and the join); the batch side keeps its own
+        # pipeline exchanges, so compare AGAINST the unbucketed control
+        assert "Bucketed: true" in plan, plan
+        control = ob.join(nb, "bkey")
+        cplan = control._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") < cplan.count("Exchange"), (
+            plan, cplan
+        )
+        # and the probe result matches the unbucketed control
+        got = {(r.doc_a, r.doc_b) for r in
+               probe.select("doc_a", "doc_b").distinct().collect()}
+        want = {(r.doc_a, r.doc_b) for r in
+                control.select("doc_a", "doc_b").distinct().collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+        spark.sql("DROP TABLE IF EXISTS hist_bands_t")

@@ -39,6 +39,7 @@ TS_QUERIES = [
     "funnel_stages",
     "tpch_q6_forecast",
     "event_windows",
+    "click_attribution",  # r5: stream-stream twin (floor-epoch delay)
 ]
 
 
