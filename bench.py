@@ -134,6 +134,7 @@ HEADLINE = [
     "triangle_count",
     "event_path_ngrams",
     "geohash_pyramid",
+    "gopher_filter",
 ]
 
 

@@ -474,3 +474,72 @@ def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return documents.select(
         "doc_id", *counts, F.md5(scrubbed).alias("scrubbed_md5")
     )
+
+
+def gopher_quality_flags(documents: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", public paper, Table A1) as
+    one map-only pass: per-document rule flags plus the composite keep
+    verdict — the classic pre-training corpus filter.
+
+    Rules replayed here (each a pure column expression, no UDF):
+    * 50 <= word_count <= 100_000
+    * 3 <= mean word length <= 10  (fixed-point x10000, floor — the
+      engine's integer-exactness rule; no float division reaches the
+      oracle hash)
+    * symbol-to-word ratio (# or ...) <= 0.1  -> 10 * symbols <= words
+    * >= 80% of words contain an alphabetic character
+      -> 5 * alpha_words >= 4 * words
+    * >= 2 distinct stop words from the 8-word reference list
+    Line-based bullet/ellipsis rules are omitted: the corpus model is
+    single-line documents (TESTDATA.md); they drop in as two more
+    line-array expressions when a multiline corpus appears.
+    """
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    n_words = F.size(words).cast("long")
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    # mean word length in 1e-4 units, floor — integer-exact both sides
+    mean_len_e4 = F.when(n_words > 0, F.floor(total_chars * 10000 / n_words)
+                         .cast("long")).otherwise(F.lit(0).cast("long"))
+    n_symbols = (
+        F.size(F.filter(words, lambda w: w == F.lit("#")))
+        + F.size(F.filter(words, lambda w: w == F.lit("...")))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    lw = F.transform(words, F.lower)
+    n_stops = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in stops]),
+            lambda s: F.array_contains(lw, s),
+        )
+    ).cast("long")
+    ok_count = (n_words >= 50) & (n_words <= 100_000)
+    ok_mean = (mean_len_e4 >= 30_000) & (mean_len_e4 <= 100_000)
+    ok_symbols = n_symbols * 10 <= n_words
+    ok_alpha = n_alpha * 5 >= n_words * 4
+    ok_stops = n_stops >= 2
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len_e4.alias("mean_word_len_e4"),
+        n_symbols.alias("n_symbols"),
+        n_alpha.alias("n_alpha_words"),
+        n_stops.alias("n_stop_words"),
+        ok_count.alias("ok_count"),
+        ok_mean.alias("ok_mean_len"),
+        ok_symbols.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stops.alias("ok_stops"),
+        (ok_count & ok_mean & ok_symbols & ok_alpha & ok_stops).alias(
+            "keep"
+        ),
+    )

@@ -67,6 +67,7 @@ _DRIVER_WINDOW_FIRST = [
     "triangle_count",      # new: ordered-wedge co-purchase triangles
     "event_path_ngrams",   # new: behavioral motif mining
     "geohash_pyramid",     # new: single-shuffle multi-precision rollup
+    "gopher_filter",       # new: published Gopher quality rules
     "bigram_familiarity",  # build-scoped cache + literal common set
     "box_overlap_join",    # inverted-box in-plan guard
     "rolling_fingerprint",  # flat-batch kernel rewrite
@@ -4190,3 +4191,53 @@ def q_geohash_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prefix")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "gopher_filter",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(CASE WHEN len(w) > 0 THEN
+               (list_sum(list_transform(w, x -> len(x))) * 10000) // len(w)
+             ELSE 0 END AS BIGINT) AS mean_word_len_e4,
+             CAST(len(list_filter(w, x -> x = '#'))
+                  + len(list_filter(w, x -> x = '...')) AS BIGINT)
+               AS n_symbols,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+               AS BIGINT) AS n_alpha_words,
+             CAST(len(list_filter(
+               ['the','be','to','of','and','that','have','with'],
+               s -> list_contains(list_transform(w, x -> lower(x)), s)))
+               AS BIGINT) AS n_stop_words
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len_e4, n_symbols, n_alpha_words,
+           n_stop_words,
+           (n_words >= 50 AND n_words <= 100000) AS ok_count,
+           (mean_word_len_e4 >= 30000 AND mean_word_len_e4 <= 100000)
+             AS ok_mean_len,
+           (n_symbols * 10 <= n_words) AS ok_symbols,
+           (n_alpha_words * 5 >= n_words * 4) AS ok_alpha,
+           (n_stop_words >= 2) AS ok_stops,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len_e4 >= 30000 AND mean_word_len_e4 <= 100000)
+            AND (n_symbols * 10 <= n_words)
+            AND (n_alpha_words * 5 >= n_words * 4)
+            AND (n_stop_words >= 2)) AS keep
+    FROM m
+    """,
+)
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher corpus-quality rules
+    (operators/textstats.gopher_quality_flags) as a map-only pass —
+    per-document rule flags + composite keep, every ratio compared in
+    cross-multiplied integers so the oracle replays bit-for-bit."""
+    return textstats.gopher_quality_flags(_t(spark, sf_dir, "documents"))

@@ -161,6 +161,8 @@ CHECKS: dict[str, list[str]] = {
         r"partial_count",
         r"ReadSchema: struct<doc_id:bigint>",
     ],
+    # quality rules: map-only over the pruned 2-col scan
+    "gopher_filter": [r"ReadSchema: struct<doc_id:bigint,text:string>"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
@@ -211,6 +213,7 @@ ANTI_CHECKS: dict[str, list[str]] = {
     "triangle_count": [r"CartesianProduct"],
     # one Exchange only — per-level aggregation would be three
     "geohash_pyramid": [r"\(\d+\) Exchange.*\(\d+\) Exchange"],
+    "gopher_filter": [r"Exchange"],  # map-only: no shuffle of any kind
 }
 
 

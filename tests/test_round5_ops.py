@@ -265,3 +265,26 @@ def test_incremental_probe_against_bucketed_history_bands(
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
         spark.sql("DROP TABLE IF EXISTS hist_bands_t")
+
+
+def test_gopher_flags_known_documents(spark):
+    from inputosm_spark.operators import textstats
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + [f"word{i}" for i in range(60)]
+    )
+    rows = [
+        (0, good),                                   # passes everything
+        (1, "too short of the"),                     # fails word count
+        (2, good + " " + " ".join(["#"] * 30)),      # fails symbol ratio
+        (3, " ".join(["123456"] * 80)),              # fails alpha + stops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           textstats.gopher_quality_flags(df).collect()}
+    assert got[0].keep
+    assert not got[1].keep and not got[1].ok_count
+    assert not got[2].keep and not got[2].ok_symbols
+    assert not got[3].keep and not got[3].ok_alpha and not got[3].ok_stops
+    # integer fixed-point mean length: doc 3 words are all 6 chars
+    assert got[3].mean_word_len_e4 == 60000
