@@ -135,6 +135,7 @@ HEADLINE = [
     "event_path_ngrams",
     "geohash_pyramid",
     "gopher_filter",
+    "c4_filter",
 ]
 
 

@@ -543,3 +543,45 @@ def gopher_quality_flags(documents: DataFrame,
             "keep"
         ),
     )
+
+
+def c4_quality_flags(documents: DataFrame,
+                     text_col: str = "text") -> DataFrame:
+    """The published C4 cleaning rules (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer" §2.2, public paper) as one map-only pass — the other
+    classic pre-training filter next to `gopher_quality_flags`:
+
+    * >= 3 sentences (terminal-punctuation splits);
+    * every sentence ends with terminal punctuation (the paper keeps
+      only such LINES; the single-line corpus model makes the document
+      the line — flag is 'text ends with . ! ? or "');
+    * >= 5 words per sentence on average (cross-multiplied integers);
+    * no curly brace (code marker);
+    * no 'lorem ipsum'.
+    """
+    t = F.trim(F.col(text_col))
+    sentences = F.filter(
+        F.split(t, r"[.!?]"), lambda s: F.length(F.trim(s)) > 0
+    )
+    n_sent = F.size(sentences).cast("long")
+    n_words = F.size(
+        F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    ).cast("long")
+    ok_nsent = n_sent >= 3
+    ok_terminal = t.rlike('[.!?"]$')
+    ok_sent_len = n_words >= n_sent * 5
+    ok_braces = ~t.contains("{")
+    ok_lorem = ~F.lower(t).contains("lorem ipsum")
+    return documents.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        ok_nsent.alias("ok_n_sentences"),
+        ok_terminal.alias("ok_terminal_punct"),
+        ok_sent_len.alias("ok_sentence_len"),
+        ok_braces.alias("ok_no_braces"),
+        ok_lorem.alias("ok_no_lorem"),
+        (ok_nsent & ok_terminal & ok_sent_len & ok_braces & ok_lorem)
+        .alias("keep"),
+    )

@@ -68,6 +68,7 @@ _DRIVER_WINDOW_FIRST = [
     "event_path_ngrams",   # new: behavioral motif mining
     "geohash_pyramid",     # new: single-shuffle multi-precision rollup
     "gopher_filter",       # new: published Gopher quality rules
+    "c4_filter",           # new: published C4 cleaning rules
     "bigram_familiarity",  # build-scoped cache + literal common set
     "box_overlap_join",    # inverted-box in-plan guard
     "rolling_fingerprint",  # flat-batch kernel rewrite
@@ -4241,3 +4242,37 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document rule flags + composite keep, every ratio compared in
     cross-multiplied integers so the oracle replays bit-for-bit."""
     return textstats.gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "c4_filter",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, trim(text) AS t FROM documents),
+    m AS (
+      SELECT doc_id, t,
+             CAST(len(list_filter(string_split_regex(t, '[.!?]'),
+                                  s -> len(trim(s)) > 0)) AS BIGINT)
+               AS n_sentences,
+             CAST(len(list_filter(string_split_regex(t, '\s+'),
+                                  w -> len(w) > 0)) AS BIGINT) AS n_words
+      FROM t
+    )
+    SELECT doc_id, n_sentences, n_words,
+           (n_sentences >= 3) AS ok_n_sentences,
+           regexp_matches(t, '[.!?"]$') AS ok_terminal_punct,
+           (n_words >= n_sentences * 5) AS ok_sentence_len,
+           (NOT contains(t, '{')) AS ok_no_braces,
+           (NOT contains(lower(t), 'lorem ipsum')) AS ok_no_lorem,
+           ((n_sentences >= 3) AND regexp_matches(t, '[.!?"]$')
+            AND (n_words >= n_sentences * 5)
+            AND (NOT contains(t, '{'))
+            AND (NOT contains(lower(t), 'lorem ipsum'))) AS keep
+    FROM m
+    """,
+)
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published C4 cleaning rules
+    (operators/textstats.c4_quality_flags) — map-only, integer
+    cross-multiplied sentence-length rule, oracle-replayed flags and
+    composite keep."""
+    return textstats.c4_quality_flags(_t(spark, sf_dir, "documents"))

@@ -163,6 +163,7 @@ CHECKS: dict[str, list[str]] = {
     ],
     # quality rules: map-only over the pruned 2-col scan
     "gopher_filter": [r"ReadSchema: struct<doc_id:bigint,text:string>"],
+    "c4_filter": [r"ReadSchema: struct<doc_id:bigint,text:string>"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
@@ -214,6 +215,7 @@ ANTI_CHECKS: dict[str, list[str]] = {
     # one Exchange only — per-level aggregation would be three
     "geohash_pyramid": [r"\(\d+\) Exchange.*\(\d+\) Exchange"],
     "gopher_filter": [r"Exchange"],  # map-only: no shuffle of any kind
+    "c4_filter": [r"Exchange"],
 }
 
 

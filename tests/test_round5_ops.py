@@ -288,3 +288,27 @@ def test_gopher_flags_known_documents(spark):
     assert not got[3].keep and not got[3].ok_alpha and not got[3].ok_stops
     # integer fixed-point mean length: doc 3 words are all 6 chars
     assert got[3].mean_word_len_e4 == 60000
+
+
+def test_c4_flags_known_documents(spark):
+    from inputosm_spark.operators import textstats
+
+    rows = [
+        (0, "one two three four five. six seven eight nine ten! "
+            "eleven twelve thirteen fourteen fifteen?"),   # passes
+        (1, "too few sentences here."),                     # < 3 sentences
+        (2, "a b. c d. e f."),                              # short sentences
+        (3, "function() { return 1; }. and more. and more."),  # brace
+        (4, "Lorem ipsum dolor sit amet. more words here ok. "
+            "third sentence is right here."),               # lorem
+        (5, "no terminal punct one two three. two more words four five. "
+            "three four five six seven"),                   # no terminal
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.c4_quality_flags(df).collect()}
+    assert got[0].keep
+    assert not got[1].ok_n_sentences
+    assert not got[2].ok_sentence_len
+    assert not got[3].ok_no_braces
+    assert not got[4].ok_no_lorem
+    assert not got[5].ok_terminal_punct
