@@ -445,3 +445,32 @@ def write_pbf_shards(entities: DataFrame, out_dir: str) -> list[dict]:
 
     return [r.asDict() for r in
             entities.mapInArrow(encode_part, _SUMMARY_DDL).collect()]
+
+
+def run_pbf_sink_stream(entities, checkpoint_path: str, out_dir: str):
+    """STREAMING K1: drain an unbounded entity stream into `.osm.pbf`
+    shard files per micro-batch — the write-side twin of
+    `pbf.read_pbf_stream`'s landing zone, closing the streaming loop
+    (PBF in -> transform -> PBF out). `foreachBatch` +
+    checkpointLocation give the exactly-once contract; each
+    micro-batch owns `out_dir/batch=<id>/` and the writer is
+    idempotent per batch id (a replayed batch overwrites its own
+    directory, never a neighbor's). Shard parallelism inside a batch
+    is `write_pbf_shards`' per-partition model — the reference's
+    per-thread shard files (/root/reference/src/inputosmpbf.cpp
+    per-thread work queues), per micro-batch.
+    """
+    import os
+    import shutil
+
+    def write_batch(batch, batch_id: int) -> None:
+        d = os.path.join(out_dir, f"batch={batch_id}")
+        shutil.rmtree(d, ignore_errors=True)
+        write_pbf_shards(batch, d)
+
+    return (
+        entities.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

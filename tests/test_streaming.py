@@ -369,3 +369,54 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_pbf_sink_roundtrips(spark, sf_dir, tmp_path):
+    """Streaming K1 (round 5): an entity stream drained through
+    run_pbf_sink_stream produces .osm.pbf shards whose decoded union
+    equals the batch source — the write-side twin of read_pbf_stream."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from inputosm_spark.sources import pbf, pbf_encode
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    ent = orders.select(
+        F.lit("node").alias("kind"),
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") % 1000 - 500).cast("long").alias("raw_lat"),
+        (F.col("o_custkey") % 2000 - 1000).cast("long").alias("raw_lon"),
+        F.expr("CAST(array() AS array<long>)").alias("node_refs"),
+        F.expr(
+            "CAST(array() AS array<struct<type:int,ref:long,role:string>>)"
+        ).alias("members"),
+        F.create_map(F.lit("p"), F.col("o_orderpriority")).alias("tags"),
+        F.lit(1).cast("int").alias("version"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_custkey").alias("changeset"),
+    )
+    src = tmp_path / "ent_src"
+    ent.repartition(3).write.parquet(str(src))
+
+    stream = spark.readStream.schema(pbf._ENTITY_DDL).parquet(str(src))
+    q = pbf_encode.run_pbf_sink_stream(
+        stream, str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    q.awaitTermination(180)
+
+    shards = sorted(
+        glob.glob(str(tmp_path / "out" / "batch=*" / "*.osm.pbf"))
+    )
+    assert shards
+    back = pbf.read_pbf_entities(spark, shards)
+    agg = lambda df: df.agg(  # noqa: E731
+        F.count("*").alias("n"),
+        F.sum("id").alias("s_id"),
+        F.sum("raw_lat").alias("s_lat"),
+        F.sum("raw_lon").alias("s_lon"),
+        F.sum("changeset").alias("s_cs"),
+        F.countDistinct(F.element_at("tags", F.lit("p"))).alias("n_p"),
+    ).collect()[0]
+    assert agg(back) == agg(ent)
