@@ -427,9 +427,16 @@ def event_path_ngrams(events: DataFrame, n: int = 3) -> DataFrame:
     One groupBy(user) shuffle builds each user's sorted type array
     (total order (ts, event_id) — the ranking-oracle contract), the
     n-gram structs come from element_at over an exploded start index
-    (per-user sequences are bounded; the struct-tuple form avoids the
-    interpreted per-gram string build, CLAUDE.md), and one counting
-    shuffle aggregates paths globally.
+    (the struct-tuple form avoids the interpreted per-gram string
+    build, CLAUDE.md), and one counting shuffle aggregates paths
+    globally.
+
+    Capacity contract: the per-user collect_list assumes BOUNDED
+    per-user event counts (sessionized streams; the same assumption
+    funnel_stages states). A power user with unbounded history should
+    be pre-sharded by time window first — n-gram counts then differ
+    only at the n-1 window seams, exactly simhash_sharded's
+    position-shard trade.
     """
     arr = F.array_sort(
         F.collect_list(F.struct("ts", "event_id", "event_type"))

@@ -501,9 +501,9 @@ def gopher_quality_flags(documents: DataFrame,
         lambda w: F.length(w) > 0,
     )
     n_words = F.size(words).cast("long")
-    total_chars = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    )
+    # total word chars = length of the separator-free join — a single
+    # JVM string op, not an interpreted per-word HOF fold (CLAUDE.md)
+    total_chars = F.length(F.array_join(words, "")).cast("long")
     # mean word length in 1e-4 units, floor — integer-exact both sides
     mean_len_e4 = F.when(n_words > 0, F.floor(total_chars * 10000 / n_words)
                          .cast("long")).otherwise(F.lit(0).cast("long"))
