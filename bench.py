@@ -136,6 +136,7 @@ HEADLINE = [
     "geohash_pyramid",
     "gopher_filter",
     "c4_filter",
+    "embedding_split_leakage",
 ]
 
 

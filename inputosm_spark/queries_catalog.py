@@ -69,6 +69,7 @@ _DRIVER_WINDOW_FIRST = [
     "geohash_pyramid",     # new: single-shuffle multi-precision rollup
     "gopher_filter",       # new: published Gopher quality rules
     "c4_filter",           # new: published C4 cleaning rules
+    "embedding_split_leakage",  # new: vector-space leakage audit
     "bigram_familiarity",  # build-scoped cache + literal common set
     "box_overlap_join",    # inverted-box in-plan guard
     "rolling_fingerprint",  # flat-batch kernel rewrite
@@ -4276,3 +4277,65 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied sentence-length rule, oracle-replayed flags and
     composite keep."""
     return textstats.c4_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_split_leakage",
+    oracle=f"""
+    WITH sig AS ({_SIG_SQL}),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sig sa JOIN sig sb
+        ON sa.lsh_sig = sb.lsh_sig AND sa.vec_id < sb.vec_id
+      JOIN embeddings a ON a.vec_id = sa.vec_id
+      JOIN embeddings b ON b.vec_id = sb.vec_id
+      WHERE {_COS_SQL.replace('q.', 'a.').replace('c.', 'b.')} >= 0.15
+    ),
+    sp AS (
+      SELECT vec_id,
+             CASE WHEN {sampling_mod.hash_bucket_sql("vec_id")} < 80
+                  THEN 'train'
+                  WHEN {sampling_mod.hash_bucket_sql("vec_id")} < 90
+                  THEN 'val' ELSE 'test' END AS split
+      FROM embeddings
+    )
+    SELECT least(sa.split, sb.split) AS split_lo,
+           greatest(sa.split, sb.split) AS split_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs JOIN sp sa ON sa.vec_id = pairs.vec_a
+               JOIN sp sb ON sb.vec_id = pairs.vec_b
+    GROUP BY 1, 2
+    """,
+)
+def q_embedding_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space split-leakage audit — the vector twin of
+    `split_leakage` (which audits textual SimHash near-dups): cosine
+    near-duplicate pairs bucketed by the (train/val/test) split pair
+    they straddle, splits assigned by the growth-stable key-functional
+    hash. Any off-diagonal mass is evaluation contamination a text
+    audit cannot see (paraphrases, translations, re-encodings)."""
+    from inputosm_spark.operators import sampling
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.near_dup_pairs(
+        emb, n_planes=8, threshold=0.15, round_scale=4
+    ).select("vec_a", "vec_b")
+    sp = sampling.train_val_test_split(
+        emb.select("vec_id"), "vec_id"
+    ).select("vec_id", "split")
+    both = (
+        pairs.join(
+            F.broadcast(sp).withColumnRenamed("vec_id", "vec_a")
+            .withColumnRenamed("split", "__sa"),
+            "vec_a",
+        )
+        .join(
+            F.broadcast(sp).withColumnRenamed("vec_id", "vec_b")
+            .withColumnRenamed("split", "__sb"),
+            "vec_b",
+        )
+    )
+    return both.groupBy(
+        F.least("__sa", "__sb").alias("split_lo"),
+        F.greatest("__sa", "__sb").alias("split_hi"),
+    ).agg(F.count("*").alias("n_pairs"))

@@ -164,6 +164,9 @@ CHECKS: dict[str, list[str]] = {
     # quality rules: map-only over the pruned 2-col scan
     "gopher_filter": [r"ReadSchema: struct<doc_id:bigint,text:string>"],
     "c4_filter": [r"ReadSchema: struct<doc_id:bigint,text:string>"],
+    # vector leakage audit: split lookups BROADCAST onto the pair
+    # stream (narrow vec_id->split), never a sort-merge of the corpus
+    "embedding_split_leakage": [r"BroadcastHashJoin"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
@@ -216,6 +219,7 @@ ANTI_CHECKS: dict[str, list[str]] = {
     "geohash_pyramid": [r"\(\d+\) Exchange.*\(\d+\) Exchange"],
     "gopher_filter": [r"Exchange"],  # map-only: no shuffle of any kind
     "c4_filter": [r"Exchange"],
+    "embedding_split_leakage": [r"SortMergeJoin.*split|split.*SortMergeJoin"],
 }
 
 
