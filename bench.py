@@ -137,6 +137,12 @@ HEADLINE = [
     "gopher_filter",
     "c4_filter",
     "embedding_split_leakage",
+    # round-6 additions: PBF per-axis debug twins + exact sketch twin
+    "pbf_roundtrip_ids",
+    "pbf_roundtrip_coords",
+    "pbf_roundtrip_ts",
+    "pbf_roundtrip_tags",
+    "distinct_cells_exact",
 ]
 
 

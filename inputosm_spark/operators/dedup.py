@@ -117,26 +117,14 @@ def lsh_candidate_pairs(
     signal, and at 100 TB it is the task that never finishes). The
     rule is a plain count predicate, so the oracle replays it.
 
-    The bucket table feeds both sides of the self-join (and the cap's
-    count); Spark has no cross-branch subplan sharing, so cache it —
-    one shingle+minhash pass instead of two/three.
+    Banding comes from `minhash_bands` (ONE source of truth for the
+    band_val format — this is also what persisted bucketed-history
+    tables store, so a format drift here would silently empty the
+    incremental probe). The bucket table feeds both sides of the
+    self-join (and the cap's count); Spark has no cross-branch subplan
+    sharing, so cache it — one shingle+minhash pass instead of two.
     """
-    bands = []
-    for b in range(n_bands):
-        cols = [
-            F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        bands.append(
-            signatures.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *cols).alias("band_val"),
-            )
-        )
-    bucketed = bands[0]
-    for extra in bands[1:]:
-        bucketed = bucketed.unionAll(extra)
-    bucketed = bucketed.cache()
+    bucketed = minhash_bands(signatures, n_bands, rows_per_band).cache()
     if max_bucket is not None:
         wb = Window.partitionBy("band", "band_val")
         bucketed = (
@@ -533,24 +521,28 @@ def minhash_bands(
     bucketed-history path (write the HISTORY's bands with
     plans/layout.write_bucketed_table keyed on band||'|'||band_val and
     every future batch probes it with zero Exchange on the history
-    side — plan-asserted in tests/test_round5_ops.py)."""
-    parts = []
+    side — plan-asserted in tests/test_round5_ops.py).
+
+    Fan-out is ONE explode over a literal struct array, never a
+    unionAll of n_bands selects: Spark has no cross-branch subplan
+    sharing, so the union form re-ran the whole upstream
+    shingle+minhash shuffle once per band (the repo's
+    explode-vs-unionAll rule, CLAUDE.md; r5 ADVICE)."""
+    structs = []
     for b in range(n_bands):
         cols = [
             F.col(f"sig_{b * rows_per_band + r}")
             for r in range(rows_per_band)
         ]
-        parts.append(
-            signatures.select(
-                "doc_id",
+        structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws("|", *cols).alias("band_val"),
             )
         )
-    out = parts[0]
-    for e in parts[1:]:
-        out = out.unionAll(e)
-    return out
+    return signatures.select(
+        "doc_id", F.explode(F.array(*structs)).alias("__bb")
+    ).select("doc_id", "__bb.band", "__bb.band_val")
 
 
 def incremental_dedup_pairs(
@@ -561,6 +553,7 @@ def incremental_dedup_pairs(
     n_bands: int = 2,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    eager_check: bool = False,
 ) -> DataFrame:
     """INCREMENTAL near-dup detection: which NEW documents duplicate
     the HISTORY — the rolling-ingest curation shape. Re-running the
@@ -581,22 +574,32 @@ def incremental_dedup_pairs(
     PRECONDITION (checked loudly): history and new_batch doc_ids must
     be DISJOINT — a re-delivered id would double its shingle rows in
     the unioned verify frame and silently skew every Jaccard it
-    touches. The check is one narrow id semi-join at plan-build time
-    (id columns only, pushed to the scans); re-ingest pipelines should
-    drop/supersede the old version first (plans/snapshots is the
-    engine's path for that).
+    touches. The check rides the probe join itself as an in-plan
+    `assert_true` (the engine's loud-failure pattern) with ZERO extra
+    driver barriers: a re-delivered id's unchanged/near-identical text
+    hashes to the same signature, so its band rows collide on both
+    sides and the doc_a == doc_b pair RAISES at execution (r5 verdict
+    #6 — the previous eager semi-join `.count()` cost one driver job
+    per invocation of the rolling-ingest hot path). Scope: an id
+    re-delivered with entirely REWRITTEN text can band differently on
+    the two sides and slip past the collision guard — pass
+    `eager_check=True` for the exhaustive (one extra narrow-column
+    job) id semi-join when ids may be recycled across unrelated
+    content; re-ingest pipelines should drop/supersede the old
+    version first (plans/snapshots is the engine's path for that).
     """
-    overlap = (
-        new_batch.select("doc_id")
-        .join(history.select("doc_id"), "doc_id", "semi")
-        .limit(1)
-        .count()
-    )
-    if overlap:
-        raise ValueError(
-            "incremental_dedup_pairs: history and new_batch share "
-            "doc_ids — supersede the old versions before probing"
+    if eager_check:
+        overlap = (
+            new_batch.select("doc_id")
+            .join(history.select("doc_id"), "doc_id", "semi")
+            .limit(1)
+            .count()
         )
+        if overlap:
+            raise ValueError(
+                "incremental_dedup_pairs: history and new_batch share "
+                "doc_ids — supersede the old versions before probing"
+            )
 
     sh_new = word_shingles(new_batch, text_col=text_col, n=3)
     sh_old = word_shingles(history, text_col=text_col, n=3)
@@ -606,9 +609,24 @@ def incremental_dedup_pairs(
     ob = minhash_bands(
         minhash_signatures(sh_old, n_hashes), n_bands, rows_per_band
     ).withColumnRenamed("doc_id", "doc_b")
+    # assert_true is NULL when the predicate holds, so the rider
+    # column is a constant 0 on the happy path (and part of the
+    # distinct key, which keeps Catalyst from pruning it away)
+    guard = F.assert_true(
+        F.col("doc_a") != F.col("doc_b"),
+        F.lit(
+            "incremental_dedup_pairs: history and new_batch share "
+            "doc_ids — supersede the old versions before probing"
+        ),
+    )
     cand = (
         nb.join(ob, ["band", "band_val"])
-        .select("doc_a", "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(guard.cast("long"), F.lit(0)).alias("__g"),
+        )
         .distinct()
+        .drop("__g")
     )
     return jaccard_verify(cand, sh_new.unionAll(sh_old), threshold)

@@ -148,6 +148,19 @@ def pagerank(
     per-iteration frames are plain lazy plans (iters is small and
     bounded; for deep iteration counts sever lineage per round like
     connected_components does).
+
+    Exactness bound (r5 ADVICE): both floor divisions run as doubles,
+    exact (== the oracle's integer //) only while the dividend stays
+    < 2^53 — rank for rank/outdeg, damping_num * sum(contributions)
+    for the damping term. In-plan assert_true guards enforce both
+    (the engine's loud-failure pattern, mirroring priority_sample):
+    past the bound the job RAISES instead of silently diverging from
+    the oracle. The contribution-mass guard compares sum(contrib)
+    against a precomputed bound WITHOUT multiplying (the product
+    itself could trip ANSI int64 overflow first and swallow the
+    diagnostic), and each guard leads its addition so it evaluates
+    before the division/product does. For graphs whose total rank
+    mass approaches 2^53 / damping_num, lower `scale`.
     """
     base = scale * (damping_den - damping_num) // damping_den
     # nodes feeds iters+1 plan branches (initial ranks + every
@@ -167,15 +180,34 @@ def pagerank(
         .repartition(F.col("src"))
         .localCheckpoint(eager=False)
     )
+    rank_guard = F.assert_true(
+        F.col("rank") < F.lit(1 << 53),
+        F.lit(
+            "pagerank: rank exceeds 2^53 — the double floor-division "
+            "is no longer exact vs the integer oracle; lower `scale`"
+        ),
+    )
+    s_bound = ((1 << 53) - 1) // damping_num
+    s_guard = F.assert_true(
+        F.coalesce(F.col("__s"), F.lit(0)) <= F.lit(s_bound),
+        F.lit(
+            "pagerank: damping_num * contribution mass exceeds 2^53 — "
+            "the double floor-division is no longer exact vs the "
+            "integer oracle; lower `scale`"
+        ),
+    )
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for _ in range(iters):
         agg = (
             ed.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 "dst",
-                F.floor(F.col("rank") / F.col("__deg"))
-                .cast("long")
-                .alias("__c"),
+                (
+                    # guard first: NULL (+0) on the happy path, raises
+                    # before the division is evaluated otherwise
+                    F.coalesce(rank_guard.cast("long"), F.lit(0))
+                    + F.floor(F.col("rank") / F.col("__deg")).cast("long")
+                ).alias("__c"),
             )
             .groupBy("dst")
             .agg(F.sum("__c").alias("__s"))
@@ -185,7 +217,8 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.coalesce(s_guard.cast("long"), F.lit(0))
+                    + F.lit(base)
                     + F.floor(
                         F.lit(damping_num)
                         * F.coalesce(F.col("__s"), F.lit(0))
@@ -199,36 +232,119 @@ def pagerank(
     return ranks
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def _parse_size_bytes(s: str) -> int:
+    """Spark size-conf string ('10485760', '10485760b', '10m', '1g',
+    '-1') -> bytes. Mirrors Spark's JavaUtils.byteStringAsBytes for
+    the suffixes that appear in autoBroadcastJoinThreshold configs."""
+    t = s.strip().lower()
+    for suf, mult in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if t.endswith(suf) and t[: -len(suf)].strip("-").isdigit():
+            return int(t[: -len(suf)]) * mult
+    return int(t)
+
+
+# serialized broadcast-hash-relation footprint per (long, long) edge
+# row: 16 B of data + key/row overhead in the LongHashedRelation
+_EDGE_ROW_BYTES = 32
+# hard cap for the deliberate closing-probe broadcast: 64 MB (= 2M
+# edges) fits comfortably in default executor/driver memory; the old
+# 5M-ROW cap was ~160 MB serialized per executor — an OOM risk on
+# default configs (r5 ADVICE: size the decision in bytes, not rows)
+_CLOSING_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def triangle_counts(edges: DataFrame, degree_orient: bool = True) -> DataFrame:
     """Per-node triangle counts over an undirected graph given as
     CANONICAL ascending edges (u < v, distinct) — the clustering /
     cohesion primitive (co-purchase cliques, link-farm detection).
 
-    Ordered-wedge algorithm: with every edge stored ascending, a
-    wedge a<b<c is e(a,b) ⋈ e(b,c), and the closing join probes
-    e(a,c) — each triangle is found exactly ONCE (as its sorted
-    orientation), two equi-joins, no cartesian anywhere. At corpus
-    scale the standard refinement is relabeling nodes by DEGREE rank
-    before orienting (bounds wedge fan-out by the arboricity instead
-    of the id order); that is a one-line relabel join in front of
-    this function and does not change the result.
+    Ordered-wedge algorithm: orient every edge along a TOTAL order π,
+    then a wedge π(a)<π(b)<π(c) is e(a,b) ⋈ e(b,c) and the closing
+    join probes e(a,c) — each triangle is found exactly ONCE (as its
+    π-sorted orientation), two equi-joins, no cartesian anywhere.
+
+    π is the DEGREE order (degree, id) by default (r5 verdict #5):
+    orienting low-degree -> high-degree bounds every node's out-degree
+    by O(sqrt(m)) (arboricity), so the wedge stream is O(m^1.5) even
+    on hub-skewed graphs — plain id order leaves a low-id hub with
+    out-degree ~n and a quadratic wedge blow-up at 100×. The
+    orientation is one degree aggregation + two equi-joins against the
+    narrow (node, degree) table BEFORE the wedge join; corner ids are
+    untouched, so the triangle set (and every oracle hash) is
+    identical under either order. `degree_orient=False` keeps the raw
+    id order (valid for graphs known to be degree-uniform).
     """
     # the edge list feeds THREE join branches (wedge left, wedge
-    # right, closing probe); sever it once (eager: the barrier runs
-    # the edge job NOW, and the three branches then scan the
-    # materialized RDD) or every branch re-derives it from source
-    # (measured 18.4s -> 7.5s at sf0.1 co-purchase)
+    # right, closing probe) — plus the degree aggregation and the two
+    # orientation joins; sever it once (eager: the barrier runs the
+    # edge job NOW, and the branches then scan the materialized RDD)
+    # or every branch re-derives it from source (measured 18.4s ->
+    # 7.5s at sf0.1 co-purchase)
     edges = edges.localCheckpoint(eager=True)
+    # one count, reused for BOTH broadcast decisions below (the
+    # checkpoint makes it a cheap cached-RDD count; orientation
+    # preserves row count so it stays valid for the closing probe)
+    n_edges = edges.count()
+    conf_thr = _parse_size_bytes(
+        edges.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+    )
+    fits = (
+        lambda rows: conf_thr > 0
+        and rows * _EDGE_ROW_BYTES <= _CLOSING_BROADCAST_MAX_BYTES
+    )
+    if degree_orient:
+        # ONE explode pass for both endpoints (explode-vs-unionAll
+        # rule); undirected degree since input edges are canonical
+        deg = (
+            edges.select(F.explode(F.array("u", "v")).alias("n"))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        du = deg.select(F.col("n").alias("u"), F.col("d").alias("__du"))
+        dv = deg.select(F.col("n").alias("v"), F.col("d").alias("__dv"))
+        # the (node, degree) table has <= 2*n_edges rows; when that
+        # fits the byte cap, broadcast BOTH orientation joins so the
+        # oriented list is produced map-side over the checkpointed
+        # edges (without the hint, a post-checkpoint deg has no size
+        # estimate and both joins sort-merge-shuffle the edge list —
+        # the 5.2s -> 7.0s driver-bench regression when degree
+        # orientation first shipped). Past the cap the joins shuffle:
+        # the correct 100 TB path.
+        if fits(2 * n_edges):
+            du, dv = F.broadcast(du), F.broadcast(dv)
+        lower_first = (F.col("__du") < F.col("__dv")) | (
+            (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
+        )
+        edges = (
+            edges.join(du, "u")
+            .join(dv, "v")
+            .select(
+                F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("u"),
+                F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("v"),
+            )
+            # re-sever: the oriented list is what feeds the three
+            # wedge/probe branches below
+            .localCheckpoint(eager=True)
+        )
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
     e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
     # closing probe: the WEDGE stream is the big side (sum of squared
     # out-degrees); when the edge list itself is broadcastable, probe
-    # it hash-side instead of sort-merging the wedges. The checkpoint
-    # above makes the count cheap; past the threshold fall back to the
-    # shuffled equi-join (the 100 TB path — edges partition by a, AQE
-    # handles skewed closing keys).
-    if edges.count() <= 5_000_000:
+    # it hash-side instead of sort-merging the wedges. The decision is
+    # sized in BYTES (estimated serialized hash-relation footprint)
+    # under a 64 MB cap, and disabled entirely when the session has
+    # autoBroadcastJoinThreshold=-1 (user opted out of broadcasts).
+    # The checkpoint above makes the count cheap; past the threshold
+    # fall back to the shuffled equi-join (the 100 TB path — edges
+    # partition by a, AQE handles skewed closing keys).
+    if fits(n_edges):
         e3 = F.broadcast(e3)
     tri = (
         e1.join(e2, F.col("b") == F.col("b2"))

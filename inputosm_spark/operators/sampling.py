@@ -323,15 +323,20 @@ def priority_sample(
     to domain_topk's two-phase window with a constant group.
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    w_cap = (1 << 53) // scale
+    # compare against the precomputed bound WITHOUT multiplying: the
+    # product itself overflows int64 under ANSI for weight > ~9.2e6 at
+    # the default scale, which would replace this diagnostic with a
+    # generic ARITHMETIC_OVERFLOW (r5 ADVICE); the guard also leads
+    # the addition so it evaluates before the product does
+    w_cap = ((1 << 53) - 1) // scale
     guard = F.assert_true(
-        w.cast("long") * F.lit(scale) < F.lit(1 << 53),
+        w.cast("long") <= F.lit(w_cap),
         F.lit(f"priority_sample: weight > {w_cap} overflows the exact "
               "double-division range at this scale; lower `scale`"),
     )
     pr = (
-        w.cast("long") * F.lit(scale)
-        + F.coalesce(guard.cast("long"), F.lit(0))
+        F.coalesce(guard.cast("long"), F.lit(0))
+        + w.cast("long") * F.lit(scale)
     ) / (hash_bucket(key_col, 9973).cast("long") + 1)
     out = df.withColumn("priority", F.floor(pr).cast("long"))
     return out.orderBy(F.desc("priority"), F.col(key_col)).limit(k)

@@ -52,70 +52,73 @@ def register(name: str, oracle: str | None = None):
 # the back (they remain covered by scripts/check_oracles.py, which
 # always runs the full set).
 _DRIVER_WINDOW_FIRST = [
-    # round-5: new or behavior-changed this round
-    "pbf_roundtrip",       # r4's only red — TZ fix must get a green row
-    "simhash_sharded",     # new monster-doc path
-    "pii_scrub",           # new: map-only PII detect+scrub
-    "doc_chunks",          # new: overlapping token chunking
-    "pagerank",            # new: fixed-point integer link-graph prior
-    "segment_join",        # new: proper-crossing segment intersection
-    "geohash_cells",       # new: base32 geohash indexing key
-    "simplify_ways",       # new: perpendicular-deviation simplification
-    "click_attribution",   # new: stream-stream join's batch twin
-    "priority_sample",     # new: deterministic weighted top-k sample
-    "incremental_dedup",   # new: new-batch-vs-history near-dup probe
-    "triangle_count",      # new: ordered-wedge co-purchase triangles
-    "event_path_ngrams",   # new: behavioral motif mining
-    "geohash_pyramid",     # new: single-shuffle multi-precision rollup
-    "gopher_filter",       # new: published Gopher quality rules
-    "c4_filter",           # new: published C4 cleaning rules
-    "embedding_split_leakage",  # new: vector-space leakage audit
-    "bigram_familiarity",  # build-scoped cache + literal common set
-    "box_overlap_join",    # inverted-box in-plan guard
-    "rolling_fingerprint",  # flat-batch kernel rewrite
-    "winnow_sketch",        # flat-batch kernel rewrite
-    # TZ-pin-affected (all queries deriving timestamps; the pin changes
-    # what the driver session evaluates under a non-UTC host)
-    "cohort_retention",
-    "cumulative_daily_events",
-    "interval_join_windows",
-    "asof_user_state",
-    "asof_user_state_fwd",
-    "asof_user_state_nearest",
-    "funnel_stages",
-    "event_windows",
-    "tpch_q6_forecast",
-    "event_percentiles",
-    # kth-over-finite-cosines change (gemm kernels)
-    "ivf_topk",
-    "ivf_kmeans_topk",
-    "ann_lsh_topk",
-    "ann_lsh_topk_w16",
-    "embedding_near_dup",
-    "cosine_topk",
-    # round-4 additions: keep a second driver round of coverage
-    "ring_density",
-    "tile_pyramid",
-    "domain_cap",
-    "split_leakage",
-    "span_fingerprint",
-    "simhash_near_dup",
-    "token_shards",
-    "heavy_hitter_terms",
-    "contamination_overlap",
-    "minhash_signatures",
-    "sql_cell_rollup",
-    "way_length",
-    "way_area",
+    # round-6: new or behavior-changed this round
+    "pbf_roundtrip",        # hermetic rewrite (mkdtemp + eager
+                            # checkpoint + rmtree) — needs its first
+                            # green driver row after two reds
+    "pbf_roundtrip_ids",    # new: per-axis debug twins — if the full
+    "pbf_roundtrip_coords",  # roundtrip reds again, the red/green
+    "pbf_roundtrip_ts",      # pattern across these four bisects the
+    "pbf_roundtrip_tags",    # drifting wire column in the same round
+    "distinct_cells_exact",  # new: exact twin bounding the HLL sketch
+    "approx_distinct_cells",  # rows-only; now pinned by the twin
+    "triangle_count",       # degree-ordered orientation (r5 verdict #5)
+    "incremental_dedup",    # in-plan disjointness guard + shared bands
+    "lsh_candidate_pairs",  # banding now via minhash_bands explode
+    "lsh_candidate_pairs_capped",
+    "ngram_jaccard_pairs",  # downstream of the banding rewrite
+    "dedup_clusters",
     "dedup_keep_best",
-    "zorder_cells",
-    "tfidf_top_terms",
-    "repetition_score",
+    "pagerank",             # 2^53 exactness guards in-plan
+    "priority_sample",      # overflow-safe guard predicate
+    # not driver-checked since r4 or earlier (CORRECTNESS_r05 gap set)
+    "count_all",
+    "statistics",
+    "lat_stat",
+    "tag_filter",
+    "semi_lookup_join",
+    "ordered_assembly",
+    "span_explode",
+    "cell_assign",
+    "cell_rollup",
+    "pip_join_boxes",
+    "knn_join",
+    "tile_counts",
+    "kring_expand",
+    "salted_cell_count",
+    "dedup_keep_first",
+    "simhash",
+    "token_stats",
+    "lang_id",
+    "fingerprint",
+    "embedding_lsh_sig",
+    "cdc_latest_state",
+    "sessionize",
+    "tpch_q1_pricing",
+    "tpch_q3_top_orders",
+    "tpch_q5_region_volume",
+    "flagship",
+    "media_edges",
+    "span_roundtrip",
+    "wkt_export",
+    "except_users",
+    "rollup_cells",
+    "cube_cells",
+    "topk_dense_cells",
+    "quality_score",
+    "lineage_buckets",
+    "json_props_agg",
+    "raster_roundtrip",
+    "media_features",
+    "media_frames",
     "hash_split",
     "stratified_sample",
     "intersect_users",
     "training_pipeline",
     "pip_join_shuffle",
+    "tfidf_top_terms",
+    "zorder_cells",
+    "repetition_score",
 ]
 
 
@@ -1760,7 +1763,12 @@ def q_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_distinct_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-cell estimate per coarse cell — the
     sketch path for 10^12-scale cardinality (approx_count_distinct is
-    engine-specific, so this entry is rows-only checked)."""
+    engine-specific, so this entry is rows-only checked; its error is
+    BOUNDED by two independent gates instead (r6 directive #2): the
+    oracle-gated exact twin `distinct_cells_exact` over the same
+    grouping, and tests/test_round6_ops.py asserting every group's
+    HLL estimate within the configured rsd envelope of the exact
+    count)."""
     docs = _t(spark, sf_dir, "documents")
     lat, lon = cells.point_exprs("doc_id")
     keyed = docs.select(
@@ -1769,6 +1777,41 @@ def q_approx_distinct_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return keyed.groupBy("cell3").agg(
         F.approx_count_distinct("cell9", 0.01).alias("approx_cells9"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+_CELL3_SQL = cells.cell_id_sql(_LAT_SQL, _LON_SQL, 3)
+_CELL9_SQL = cells.cell_id_sql(_LAT_SQL, _LON_SQL, 9)
+
+
+@register(
+    "distinct_cells_exact",
+    oracle=f"""
+    SELECT {_CELL3_SQL} AS cell3,
+           CAST(count(DISTINCT {_CELL9_SQL}) AS BIGINT) AS n_cells9,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q_distinct_cells_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct fine cells per coarse cell — the oracle-gated
+    ground truth for `approx_distinct_cells` (same keys, same
+    grouping): with this row green, the sketch query's only
+    unverifiable part is the HLL estimator itself, and that error is
+    pinned by the rsd-envelope pytest against this exact count. At
+    sketch-justifying scale you run the HLL; this exact twin is the
+    audit path (count(DISTINCT) = one extra shuffle of the (cell3,
+    cell9) pairs — Spark expands it to a two-stage partial-distinct
+    aggregate, no all-rows-to-one-reducer stage)."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    keyed = docs.select(
+        cells.cell_id_expr(lat, lon, 3).alias("cell3"),
+        cells.cell_id_expr(lat, lon, 9).alias("cell9"),
+    )
+    return keyed.groupBy("cell3").agg(
+        F.countDistinct("cell9").alias("n_cells9"),
         F.count("*").alias("n_docs"),
     )
 
@@ -2706,61 +2749,40 @@ def q_way_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PBF_RT_LAT, _PBF_RT_LON = cells.point_sql("o_orderkey")
 
 
-@register(
-    "pbf_roundtrip",
-    oracle=f"""
-    WITH nodes AS (
-      SELECT o_orderkey AS id,
-             {_PBF_RT_LAT} AS raw_lat, {_PBF_RT_LON} AS raw_lon,
-             o_custkey AS changeset,
-             epoch(CAST(o_orderdate AS TIMESTAMP)) AS ts_s,
-             o_orderpriority AS clerk
-      FROM orders
-    )
-    SELECT CAST(id % 7 AS BIGINT) AS bucket,
-           count(*) AS n,
-           sum(raw_lat) AS sum_lat,
-           sum(raw_lon) AS sum_lon,
-           sum(changeset) AS sum_cs,
-           CAST(sum(ts_s) AS BIGINT) AS sum_ts_s,
-           max(id) AS max_id,
-           count(DISTINCT clerk) AS n_clerks
-    FROM nodes GROUP BY 1
-    """,
-)
-def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL WIRE-FORMAT ROUNDTRIP under the oracle gate: orders rows
-    become dense nodes (id / fixed-point coords / tags / info), the
-    distributed K1 sink (sources/pbf_encode.write_pbf_shards) writes
-    one .osm.pbf per partition, the blob-parallel reader
-    (sources/pbf.read_pbf_entities) decodes them back, and the
-    aggregate must hash-match pure SQL over the SOURCE table — any bit
-    lost in varint/zigzag/delta/stringtable encode OR decode breaks the
-    hash. This puts S2-S11 + the sink into CORRECTNESS, not just
-    pytest.
+def _pbf_roundtrip_frame(
+    spark: SparkSession, sf_dir: str, mod: int | None = None, rem: int = 1
+) -> DataFrame:
+    """Encode orders rows as dense nodes through the K1 sink, decode
+    them back through the blob-parallel reader, and return the decoded
+    frame MATERIALIZED (eager localCheckpoint) with the shard files
+    already deleted.
 
-    Timestamp convention (round-5 fix for the r4 driver red): DuckDB
-    writes isAdjustedToUTC=false parquet, which Spark 4 reads as
-    TIMESTAMP_NTZ. The r1-r4 code `.cast("timestamp")`-ed that NTZ
-    value — an NTZ->TZ conversion evaluated in the *session* zone, so
-    the wire stored naive+offset and `sum(unix_timestamp(ts))` drifted
-    by the driver host's UTC offset vs DuckDB's TZ-naive `epoch()`
-    (the r4 red; Europe/London drifts only on 1995-2001 BST dates).
-    Now the NTZ value feeds the sink directly (NTZ crosses Arrow
-    un-localized, so the wire stores the naive seconds themselves) and
-    the decoded side compares `unix_timestamp(ts)`, which for the
-    reader's instant-typed ts is the raw epoch integer — both sides
-    are TZ-free under ANY session zone, exactly the reference's
-    epoch-integer timestamp model
-    (/root/reference/src/timeutil.cpp:31-39)."""
-    import os
-    import re
+    HERMETIC by construction (round-6 directive #1 — `pbf_roundtrip`
+    was driver-red in r4/r5 while green under every local replay, so
+    every environment axis is closed at once):
+
+    * shards go to a fresh ``tempfile.mkdtemp()`` per invocation —
+      never a fixed sf-keyed path a concurrent/retried invocation (or
+      a bench run in the same driver process) could rmtree/rewrite
+      while a prior lazy plan re-reads it;
+    * the decoded frame is ``localCheckpoint(eager=True)``-ed BEFORE
+      this function returns, so the bytes are read exactly once, at
+      build time — no later filesystem event can change what any
+      downstream aggregate hashes;
+    * the shard directory is rmtree'd immediately after the eager
+      read (in ``finally``, so failures don't leak temp dirs).
+
+    ``mod``/``rem`` subset the input (o_orderkey % mod == rem) for the
+    per-axis debug twins below.
+    """
     import shutil
     import tempfile
 
     from inputosm_spark.sources import pbf, pbf_encode
 
     orders = _t(spark, sf_dir, "orders")
+    if mod is not None:
+        orders = orders.filter(F.pmod("o_orderkey", F.lit(mod)) == rem)
     lat, lon = cells.point_exprs("o_orderkey")
     ent = orders.select(
         F.lit("node").alias("kind"),
@@ -2781,13 +2803,67 @@ def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("ts"),
         F.col("o_custkey").alias("changeset"),
     ).repartition(4)
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        "inputosm_pbf_roundtrip_" + re.sub(r"\W", "_", sf_dir),
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    shards = pbf_encode.write_pbf_shards(ent, out_dir)
-    back = pbf.read_pbf_entities(spark, [s["path"] for s in shards])
+    out_dir = tempfile.mkdtemp(prefix="inputosm_pbf_rt_")
+    try:
+        shards = pbf_encode.write_pbf_shards(ent, out_dir)
+        back = pbf.read_pbf_entities(spark, [s["path"] for s in shards])
+        return back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+_PBF_RT_NODES_SQL = f"""
+      SELECT o_orderkey AS id,
+             {_PBF_RT_LAT} AS raw_lat, {_PBF_RT_LON} AS raw_lon,
+             o_custkey AS changeset,
+             epoch(CAST(o_orderdate AS TIMESTAMP)) AS ts_s,
+             o_orderpriority AS clerk
+      FROM orders
+"""
+
+
+@register(
+    "pbf_roundtrip",
+    oracle=f"""
+    WITH nodes AS ({_PBF_RT_NODES_SQL})
+    SELECT CAST(id % 7 AS BIGINT) AS bucket,
+           count(*) AS n,
+           sum(raw_lat) AS sum_lat,
+           sum(raw_lon) AS sum_lon,
+           sum(changeset) AS sum_cs,
+           CAST(sum(ts_s) AS BIGINT) AS sum_ts_s,
+           max(id) AS max_id,
+           count(DISTINCT clerk) AS n_clerks
+    FROM nodes GROUP BY 1
+    """,
+)
+def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL WIRE-FORMAT ROUNDTRIP under the oracle gate: orders rows
+    become dense nodes (id / fixed-point coords / tags / info), the
+    distributed K1 sink (sources/pbf_encode.write_pbf_shards) writes
+    one .osm.pbf per partition, the blob-parallel reader
+    (sources/pbf.read_pbf_entities) decodes them back, and the
+    aggregate must hash-match pure SQL over the SOURCE table — any bit
+    lost in varint/zigzag/delta/stringtable encode OR decode breaks the
+    hash. This puts S2-S11 + the sink into CORRECTNESS, not just
+    pytest. The encode->decode leg is hermetic per invocation — see
+    `_pbf_roundtrip_frame` (r6 directive #1).
+
+    Timestamp convention (round-5 fix for the r4 driver red): DuckDB
+    writes isAdjustedToUTC=false parquet, which Spark 4 reads as
+    TIMESTAMP_NTZ. The r1-r4 code `.cast("timestamp")`-ed that NTZ
+    value — an NTZ->TZ conversion evaluated in the *session* zone, so
+    the wire stored naive+offset and `sum(unix_timestamp(ts))` drifted
+    by the driver host's UTC offset vs DuckDB's TZ-naive `epoch()`
+    (the r4 red; Europe/London drifts only on 1995-2001 BST dates).
+    Now the NTZ value feeds the sink directly (NTZ crosses Arrow
+    un-localized, so the wire stores the naive seconds themselves) and
+    the decoded side compares `unix_timestamp(ts)`, which for the
+    reader's instant-typed ts is the raw epoch integer — both sides
+    are TZ-free under ANY session zone, exactly the reference's
+    epoch-integer timestamp model
+    (/root/reference/src/timeutil.cpp:31-39)."""
+    back = _pbf_roundtrip_frame(spark, sf_dir)
     return back.groupBy(
         F.pmod("id", F.lit(7)).cast("long").alias("bucket")
     ).agg(
@@ -2799,6 +2875,108 @@ def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # epoch integer — TZ-free, unlike hour()/to_date() extraction
         F.sum(F.unix_timestamp("ts")).alias("sum_ts_s"),
         F.max("id").alias("max_id"),
+        F.countDistinct(F.element_at("tags", F.lit("clerk"))).alias(
+            "n_clerks"
+        ),
+    )
+
+
+# --- pbf_roundtrip per-axis debug twins (r6 directive #1c) ----------------
+# The driver's correctness gate records ONE value-hash per query, so a
+# red on the full roundtrip cannot say WHICH wire field drifted. These
+# four twins each expose a single encode/decode axis as its own
+# oracle-gated query over a quarter subset (o_orderkey % 4 == 1): if
+# the full roundtrip ever reds again in the driver environment, the
+# red/green pattern across {ids, coords, ts, tags} bisects the drifting
+# column in that same round instead of a round-trip of guesswork.
+
+_PBF_RT_SUBSET_SQL = f"""
+    WITH nodes AS ({_PBF_RT_NODES_SQL})
+    SELECT * FROM nodes WHERE id % 4 = 1
+"""
+
+
+@register(
+    "pbf_roundtrip_ids",
+    oracle=f"""
+    WITH sub AS ({_PBF_RT_SUBSET_SQL})
+    SELECT CAST(id % 7 AS BIGINT) AS bucket,
+           count(*) AS n, sum(id) AS sum_id, max(id) AS max_id
+    FROM sub GROUP BY 1
+    """,
+)
+def q_pbf_roundtrip_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debug twin, id axis only: delta-coded dense-node ids through
+    varint encode/decode (sources/pbf_encode dense_nodes_group id
+    deltas; sources/pbf.py dense-node cumsum)."""
+    back = _pbf_roundtrip_frame(spark, sf_dir, mod=4)
+    return back.groupBy(
+        F.pmod("id", F.lit(7)).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("id").alias("sum_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+@register(
+    "pbf_roundtrip_coords",
+    oracle=f"""
+    WITH sub AS ({_PBF_RT_SUBSET_SQL})
+    SELECT CAST(id % 7 AS BIGINT) AS bucket,
+           sum(raw_lat) AS sum_lat, sum(raw_lon) AS sum_lon
+    FROM sub GROUP BY 1
+    """,
+)
+def q_pbf_roundtrip_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debug twin, coordinate axis only: zigzag + delta-coded
+    fixed-point lat/lon through the wire."""
+    back = _pbf_roundtrip_frame(spark, sf_dir, mod=4)
+    return back.groupBy(
+        F.pmod("id", F.lit(7)).cast("long").alias("bucket")
+    ).agg(
+        F.sum("raw_lat").alias("sum_lat"),
+        F.sum("raw_lon").alias("sum_lon"),
+    )
+
+
+@register(
+    "pbf_roundtrip_ts",
+    oracle=f"""
+    WITH sub AS ({_PBF_RT_SUBSET_SQL})
+    SELECT CAST(id % 7 AS BIGINT) AS bucket,
+           CAST(sum(ts_s) AS BIGINT) AS sum_ts_s
+    FROM sub GROUP BY 1
+    """,
+)
+def q_pbf_roundtrip_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debug twin, timestamp axis only: the NTZ-naive-seconds wire
+    convention (dense-info timestamp deltas) — the axis behind the r4
+    driver red."""
+    back = _pbf_roundtrip_frame(spark, sf_dir, mod=4)
+    return back.groupBy(
+        F.pmod("id", F.lit(7)).cast("long").alias("bucket")
+    ).agg(F.sum(F.unix_timestamp("ts")).alias("sum_ts_s"))
+
+
+@register(
+    "pbf_roundtrip_tags",
+    oracle=f"""
+    WITH sub AS ({_PBF_RT_SUBSET_SQL})
+    SELECT CAST(id % 7 AS BIGINT) AS bucket,
+           sum(changeset) AS sum_cs,
+           count(DISTINCT clerk) AS n_clerks
+    FROM sub GROUP BY 1
+    """,
+)
+def q_pbf_roundtrip_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debug twin, stringtable + info axis: tag key/value indices
+    through the shared string table, plus dense-info changesets."""
+    back = _pbf_roundtrip_frame(spark, sf_dir, mod=4)
+    return back.groupBy(
+        F.pmod("id", F.lit(7)).cast("long").alias("bucket")
+    ).agg(
+        F.sum("changeset").alias("sum_cs"),
         F.countDistinct(F.element_at("tags", F.lit("clerk"))).alias(
             "n_clerks"
         ),

@@ -13,9 +13,14 @@ bucket boundary. Two defenses now exist and both are asserted here:
    under any driver timezone (tested below under America/New_York,
    whose offset is nonzero in every season — stricter than the
    Europe/London zone that produced the r4 red).
-2. `q_pbf_roundtrip` itself compares wall-clock epoch seconds
-   (datediff*86400 + h/m/s), so the one query whose wire path crosses
-   Arrow twice is TZ-invariant even WITHOUT the pin.
+2. `q_pbf_roundtrip` itself uses a pure-epoch wire convention: the
+   parquet's TIMESTAMP_NTZ value feeds the sink directly (NTZ crosses
+   Arrow un-localized, so the wire stores the naive seconds), and the
+   decoded side compares `sum(unix_timestamp(ts))` — the reader's
+   instant-typed ts yields the wire's raw epoch integer, matching the
+   oracle's TZ-naive `epoch()` under ANY session zone. So the one
+   query whose wire path crosses Arrow twice is TZ-invariant even
+   WITHOUT the pin.
 """
 
 from __future__ import annotations
