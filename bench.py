@@ -143,6 +143,10 @@ HEADLINE = [
     "pbf_roundtrip_ts",
     "pbf_roundtrip_tags",
     "distinct_cells_exact",
+    "dbscan_clusters",
+    "staypoints",
+    "bloom_prune_join",
+    "jaccard_prefix_pairs",
 ]
 
 

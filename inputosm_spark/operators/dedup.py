@@ -630,3 +630,98 @@ def incremental_dedup_pairs(
         .drop("__g")
     )
     return jaccard_verify(cand, sh_new.unionAll(sh_old), threshold)
+
+
+def prefix_filter_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    threshold_e6: int = 500_000,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard similarity self-join via prefix
+    filtering (Bayardo et al., "Scaling Up All Pairs Similarity
+    Search", WWW'07; the PPJoin family) — the deterministic
+    complement to MinHash/LSH: no probabilistic misses, every pair
+    with token-set Jaccard >= threshold is returned, exactly.
+
+    Prefix lemma: order every doc's distinct tokens by ONE global
+    total order; if J(A,B) >= t then A and B must share a token inside
+    their first |X| - ceil(t*|X|) + 1 tokens — so candidate pairs are
+    prefix x prefix token collisions, and the (1-t) prefix fraction is
+    the candidate-shrink knob. The global order used is (corpus
+    frequency ASC, token ASC): correctness holds for ANY total order,
+    but frequency-ascending puts RARE tokens in prefixes, so collision
+    buckets stay small — that choice is what makes this an all-pairs
+    algorithm that survives 100 TB (a frequent-token-first order
+    degenerates toward the quadratic sharing-any-token join).
+
+    Scale shape: token-frequency table = one vocab aggregation (the
+    tf-idf shuffle); per-doc ranking windows partition on doc_id
+    (bounded rows, never a global window — token_shards rule);
+    candidate join collides only prefix tokens; the verify join costs
+    O(|A|) per surviving candidate. Threshold arithmetic is integer
+    cross-multiplication (inter * 1e6 >= t_e6 * union), so the oracle
+    replays pair-for-pair; the reported jac_e6 uses the engine's
+    floor-double==integer-// rule (dividends < 2^53).
+
+    The token universe is the word n-gram SHINGLE set (n=3 default —
+    unigram vocabularies of same-domain corpora overlap so heavily
+    that a unigram Jaccard threshold stops discriminating; measured
+    92k of 125k sf0.01 pairs above 0.5 on unigrams vs ~25 on
+    3-shingles).
+
+    Returns (doc_a, doc_b, inter, uni, jac_e6), doc_a < doc_b.
+    """
+    tok = word_shingles(documents, text_col=text_col, n=n)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    freq = tok.groupBy("shingle").agg(F.count("*").alias("__f"))
+    # rank tokens inside each doc by the global (freq, token) order
+    w = Window.partitionBy("doc_id").orderBy("__f", "shingle")
+    ranked = (
+        tok.join(freq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("__r", F.row_number().over(w))
+    )
+    # prefix length |X| - ceil(t*|X|) + 1, all integer
+    ceil_t_n = F.floor(
+        (F.col("n_tok") * F.lit(threshold_e6) + F.lit(999_999)) / F.lit(1_000_000)
+    )
+    prefix = ranked.filter(
+        F.col("__r") <= F.col("n_tok") - ceil_t_n + F.lit(1)
+    ).select("doc_id", "shingle", "n_tok")
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_tok").alias("na")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_tok").alias("nb")
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "na", "nb")
+        .distinct()
+    )
+    # exact verify: |A ∩ B| via the candidate's own token lists
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "shingle")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    uni = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        inter.filter(
+            F.col("inter") * F.lit(1_000_000) >= F.lit(threshold_e6) * uni
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            uni.alias("uni"),
+            F.floor(F.col("inter") * F.lit(1_000_000) / uni)
+            .cast("long")
+            .alias("jac_e6"),
+        )
+    )

@@ -693,3 +693,177 @@ def simplify_polyline(
     )
     # window expressions can't sit in a filter directly
     return points.withColumn("__keep", keep).filter("__keep").drop("__keep")
+
+
+# ---------------------------------------------------------------------------
+# density clustering (grid-partitioned DBSCAN) + trajectory stay-points
+# ---------------------------------------------------------------------------
+
+
+def dbscan(
+    points: DataFrame,
+    eps: int,
+    min_pts: int,
+    id_col: str = "id",
+) -> DataFrame:
+    """Grid-partitioned DBSCAN over integer-e4 points — the density
+    clustering step of spatial curation (POI conflation, settlement
+    detection, hot-spot grouping). Input (id, lat_e4, lon_e4);
+    output (id, cluster, role) with role in core|border|noise,
+    cluster = min core id density-reachable (-1 for noise). Border
+    points that reach several clusters take the MIN cluster label —
+    a deterministic refinement of textbook DBSCAN's arrival-order
+    tie-break (which is not replayable by any oracle).
+
+    Scale shape (the MR-DBSCAN cell decomposition): the plane is cut
+    into eps-sized cells, so every eps-neighbor of a point lies in its
+    3x3 cell block — the neighbor join is ONE equi-join on cell key
+    (probe side exploded x9, base side untouched), never an all-pairs
+    product; dense metro cells are AQE's skew problem, not a plan
+    problem. Neighbor counting, core flagging and border attachment
+    are single aggregations of the cached pair stream; core-core
+    transitive closure reuses the engine's log-round star CC. All
+    arithmetic is integer (dist2 in e4^2 units), so a brute-force SQL
+    twin replays every label bit-for-bit. No antimeridian wrap: the
+    eps grid is a flat cut of [-180,180] (documented; both dialects
+    agree). Eps-squared stays < 2^53 for any eps <= LON span, so the
+    integer dist2 is exact in both engines.
+    """
+    from inputosm_spark import geo
+    from inputosm_spark.operators.graph import connected_components
+
+    base = points.select(
+        F.col(id_col).alias("id"),
+        "lat_e4",
+        "lon_e4",
+        F.floor((F.col("lon_e4") + F.lit(geo.LON_MAX_E4)) / F.lit(eps)).alias("gx"),
+        F.floor((F.col("lat_e4") + F.lit(geo.LAT_MAX_E4)) / F.lit(eps)).alias("gy"),
+    )
+    # ONE explode fans the probe side to its 9 candidate cells
+    # (explode-vs-unionAll rule); the base side joins unexploded
+    offs = F.array(
+        *[
+            F.struct(
+                (F.col("gx") + F.lit(dx)).alias("gx"),
+                (F.col("gy") + F.lit(dy)).alias("gy"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = base.select(
+        F.col("id").alias("a"),
+        F.col("lat_e4").alias("la"),
+        F.col("lon_e4").alias("lo"),
+        F.explode(offs).alias("__g"),
+    ).select("a", "la", "lo", "__g.gx", "__g.gy")
+    dla = F.col("la") - F.col("lat_e4")
+    dlo = F.col("lo") - F.col("lon_e4")
+    # integer squares (** would be double pow); both fit int64 easily
+    d2 = dla * dla + dlo * dlo
+    # (a, b) for every b within eps of a, INCLUDING a itself (so the
+    # neighbor count below matches DBSCAN's |N_eps| convention); the
+    # pair stream feeds three consumers (count, core edges, border
+    # attach) -> cache it (no cross-branch subplan sharing)
+    pairs = (
+        probe.join(base.select(F.col("id").alias("b"), "lat_e4", "lon_e4", "gx", "gy"),
+                   ["gx", "gy"])
+        .filter(d2 <= F.lit(int(eps) * int(eps)).cast("long"))
+        .select("a", "b")
+        .cache()
+    )
+    core = (
+        pairs.groupBy("a")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= F.lit(min_pts))
+        .select(F.col("a").alias("id"))
+    )
+    ca = core.select(F.col("id").alias("a"))
+    cb = core.select(F.col("id").alias("b"))
+    core_edges = (
+        pairs.join(ca, "a").join(cb, "b")
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    comp = connected_components(core_edges)
+    core_lab = (
+        core.join(comp.withColumnRenamed("node", "id"), "id", "left")
+        .select("id", F.coalesce("component", "id").alias("cluster"))
+    )
+    border = (
+        pairs.join(core_lab.select(F.col("id").alias("b"), "cluster"), "b")
+        .join(core_lab.select(F.col("id").alias("a")), "a", "left_anti")
+        .groupBy("a")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("a").alias("id"), "cluster")
+    )
+    labeled = core_lab.select("id", "cluster", F.lit("core").alias("role")).unionAll(
+        border.select("id", "cluster", F.lit("border").alias("role"))
+    )
+    return (
+        base.select("id")
+        .join(labeled, "id", "left")
+        .select(
+            "id",
+            F.coalesce("cluster", F.lit(-1)).cast("long").alias("cluster"),
+            F.coalesce("role", F.lit("noise")).alias("role"),
+        )
+    )
+
+
+def staypoints(
+    events: DataFrame,
+    res: int,
+    min_points: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    lat_col: str = "lat_e4",
+    lon_col: str = "lon_e4",
+) -> DataFrame:
+    """Trajectory stay-point detection: maximal runs of CONSECUTIVE
+    per-user observations inside one grid cell, kept when the run has
+    >= min_points observations — the trajectory-mining primitive
+    behind home/work detection, POI dwell models and visit extraction.
+
+    Gaps-and-islands over per-user windows: flag cell changes with
+    lag(), prefix-sum the flags into a run id, aggregate runs. Two
+    window passes and one aggregation, all partitioned by user — at
+    100 TB this is ONE shuffle of the event stream on user_id (user
+    histories are bounded; no partition-less window anywhere, the
+    token_shards rule). Timestamps stay integer epoch seconds end to
+    end (the engine's pure-epoch convention), so the oracle replays
+    enter/exit/dwell bit-for-bit under any session timezone.
+    """
+    cell = cells.cell_id_expr(lat_col, lon_col, res)
+    # window binds to the RENAMED frame below, so name it there
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "__cell")
+    seq = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts_sec"),
+        cell.alias("__cell"),
+    ).withColumn(
+        "__chg",
+        F.when(
+            F.lag("__cell").over(w).isNull()
+            | (F.lag("__cell").over(w) != F.col("__cell")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("__run", F.sum("__chg").over(w))
+    return (
+        seq.groupBy("user_id", "__run")
+        .agg(
+            F.first("__cell").alias("cell"),
+            F.min("ts_sec").alias("enter_sec"),
+            F.max("ts_sec").alias("exit_sec"),
+            F.count("*").alias("n_points"),
+        )
+        .filter(F.col("n_points") >= F.lit(min_points))
+        .select(
+            "user_id",
+            "cell",
+            "enter_sec",
+            "exit_sec",
+            (F.col("exit_sec") - F.col("enter_sec")).alias("dwell_sec"),
+            "n_points",
+        )
+    )

@@ -53,6 +53,10 @@ def register(name: str, oracle: str | None = None):
 # always runs the full set).
 _DRIVER_WINDOW_FIRST = [
     # round-6: new or behavior-changed this round
+    "dbscan_clusters",      # new: grid-partitioned DBSCAN
+    "staypoints",           # new: trajectory stay-point runs
+    "bloom_prune_join",     # new: deterministic bloom join pruning
+    "jaccard_prefix_pairs",  # new: exact all-pairs similarity join
     "pbf_roundtrip",        # hermetic rewrite (mkdtemp + eager
                             # checkpoint + rmtree) — needs its first
                             # green driver row after two reds
@@ -4517,3 +4521,217 @@ def q_embedding_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("__sa", "__sb").alias("split_lo"),
         F.greatest("__sa", "__sb").alias("split_hi"),
     ).agg(F.count("*").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# round 6: density clustering, trajectory mining, bloom-pruned join,
+# exact all-pairs similarity
+# ---------------------------------------------------------------------------
+
+_DBSCAN_EPS = 100_000  # 10 degrees in e4 units
+_DBSCAN_MIN_PTS = 4
+
+
+@register(
+    "dbscan_clusters",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+      SELECT doc_id AS id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM documents
+    ),
+    nbr AS (
+      SELECT a.id AS a, b.id AS b FROM p a, p b
+      WHERE (a.lat - b.lat) * (a.lat - b.lat)
+            + (a.lon - b.lon) * (a.lon - b.lon)
+            <= {_DBSCAN_EPS * _DBSCAN_EPS}
+    ),
+    core AS (SELECT a AS id FROM nbr GROUP BY a
+             HAVING count(*) >= {_DBSCAN_MIN_PTS}),
+    ce AS (
+      SELECT n.a, n.b FROM nbr n
+      JOIN core c1 ON c1.id = n.a JOIN core c2 ON c2.id = n.b
+      WHERE n.a <> n.b
+    ),
+    reach AS (
+      SELECT id AS node, id AS lab FROM core
+      UNION
+      SELECT ce.b AS node, r.lab FROM reach r JOIN ce ON ce.a = r.node
+    ),
+    corelab AS (SELECT node AS id, min(lab) AS cluster FROM reach GROUP BY node),
+    border AS (
+      SELECT n.a AS id, min(cl.cluster) AS cluster
+      FROM nbr n JOIN corelab cl ON cl.id = n.b
+      LEFT JOIN core c ON c.id = n.a
+      WHERE c.id IS NULL
+      GROUP BY n.a
+    )
+    SELECT p.id,
+           CAST(coalesce(cl.cluster, bo.cluster, -1) AS BIGINT) AS cluster,
+           CASE WHEN cl.id IS NOT NULL THEN 'core'
+                WHEN bo.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role
+    FROM p LEFT JOIN corelab cl ON cl.id = p.id
+           LEFT JOIN border bo ON bo.id = p.id
+    """,
+)
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-partitioned DBSCAN over the document point cloud
+    (eps = 10 deg, min_pts = 4): every document labeled
+    core/border/noise with cluster = min core id density-reachable.
+    The Spark side is the eps-cell MR-DBSCAN decomposition (one
+    equi-join on cell key, CC over core-core edges); the oracle is the
+    INDEPENDENT brute-force O(n^2) definition plus a recursive-CTE
+    closure — a grid bug (missed neighbor at a cell boundary) cannot
+    hide because the oracle never sees the grid."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    pts = docs.select(F.col("doc_id").alias("id"), lat, lon)
+    return spatial.dbscan(pts, eps=_DBSCAN_EPS, min_pts=_DBSCAN_MIN_PTS)
+
+
+_STAY_PID_SQL = "(user_id * 1000 + (seq - 1) // 4)"
+_STAY_LAT_SQL, _STAY_LON_SQL = cells.point_sql(_STAY_PID_SQL)
+_STAY_CELL_SQL = cells.cell_id_sql(_STAY_LAT_SQL, _STAY_LON_SQL, 5)
+
+
+@register(
+    "staypoints",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS seq
+      FROM events
+    ),
+    pts AS (
+      SELECT user_id, ts_sec, {_STAY_CELL_SQL} AS cell FROM seq
+    ),
+    flagged AS (
+      SELECT user_id, ts_sec, cell,
+             CASE WHEN lag(cell) OVER w IS NULL
+                       OR lag(cell) OVER w <> cell
+                  THEN 1 ELSE 0 END AS chg
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, cell)
+    ),
+    runs AS (
+      SELECT user_id, ts_sec, cell,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts_sec, cell)
+               AS run
+      FROM flagged
+    )
+    SELECT user_id, min(cell) AS cell,
+           min(ts_sec) AS enter_sec, max(ts_sec) AS exit_sec,
+           max(ts_sec) - min(ts_sec) AS dwell_sec,
+           count(*) AS n_points
+    FROM runs GROUP BY user_id, run
+    HAVING count(*) >= 3
+    """,
+)
+def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory stay-points over the event stream: per-user
+    positions synthesized so every 4 consecutive events share a
+    location (user_id*1000 + seq//4 through the deterministic point
+    hash), then gaps-and-islands runs of >= 3 observations in one
+    res-5 cell with integer epoch dwell times."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select(
+            "user_id", "ts", F.unix_timestamp("ts").alias("ts_sec"), "event_id"
+        )
+        .withColumn("__seq", F.row_number().over(w))
+        .drop("ts")
+    )
+    pid = F.col("user_id") * F.lit(1000) + F.floor((F.col("__seq") - 1) / F.lit(4))
+    lat, lon = cells.point_exprs(pid)
+    pts = seq.select("user_id", "ts_sec", lat, lon)
+    return spatial.staypoints(pts, res=5, min_points=3)
+
+
+_BLOOM_M = 8064
+_BLOOM_KEYS_SQL = (
+    "SELECT DISTINCT c_custkey AS k FROM customer "
+    "WHERE c_mktsegment = 'BUILDING'"
+)
+
+
+@register(
+    "bloom_prune_join",
+    oracle=f"""
+    WITH keys AS ({_BLOOM_KEYS_SQL}),
+    hs AS (
+      SELECT ((((k) % 1000003) * 7919 + 17) % 1000003 % 8064) AS h FROM keys
+      UNION ALL SELECT ((((k) % 1000003) * 104729 + 23) % 1000003 % 8064) FROM keys
+      UNION ALL SELECT ((((k) % 1000003) * 1299709 + 29) % 1000003 % 8064) FROM keys
+    ),
+    words AS (
+      SELECT h // 63 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(h % 63 AS INT)) AS bits
+      FROM hs GROUP BY 1
+    ),
+    pass AS (
+      SELECT o.o_custkey FROM orders o
+      JOIN words w0 ON w0.w = ((((o.o_custkey) % 1000003) * 7919 + 17) % 1000003 % 8064) // 63 AND (w0.bits & (CAST(1 AS BIGINT) << CAST(((((o.o_custkey) % 1000003) * 7919 + 17) % 1000003 % 8064) % 63 AS INT))) <> 0
+      JOIN words w1 ON w1.w = ((((o.o_custkey) % 1000003) * 104729 + 23) % 1000003 % 8064) // 63 AND (w1.bits & (CAST(1 AS BIGINT) << CAST(((((o.o_custkey) % 1000003) * 104729 + 23) % 1000003 % 8064) % 63 AS INT))) <> 0
+      JOIN words w2 ON w2.w = ((((o.o_custkey) % 1000003) * 1299709 + 29) % 1000003 % 8064) // 63 AND (w2.bits & (CAST(1 AS BIGINT) << CAST(((((o.o_custkey) % 1000003) * 1299709 + 29) % 1000003 % 8064) % 63 AS INT))) <> 0
+    )
+    SELECT count(*) AS n_pass, count(k.k) AS n_true,
+           count(*) - count(k.k) AS n_false_pos
+    FROM pass LEFT JOIN keys k ON k.k = pass.o_custkey
+    """,
+)
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join: orders filtered MAP-SIDE by a
+    deterministic 8064-bit/3-hash bloom built from the BUILDING
+    customer keys, then the exact broadcast semi-join — the stats row
+    (n_pass, n_true, n_false_pos) pins the bloom's exact bit pattern
+    cross-engine, false positives included. The 100 TB story: the big
+    side never shuffles un-pruned, and the filter is a literal array
+    inside whole-stage codegen."""
+    from inputosm_spark.operators import bloom as bloom_mod
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    pruned = bloom_mod.bloom_prune(orders, cust, "o_custkey", "k", m_bits=_BLOOM_M)
+    flagged = pruned.select("o_custkey").join(
+        F.broadcast(cust), pruned["o_custkey"] == cust["k"], "left"
+    )
+    return flagged.agg(
+        F.count("*").alias("n_pass"),
+        F.count("k").alias("n_true"),
+        (F.count("*") - F.count("k")).alias("n_false_pos"),
+    )
+
+
+@register(
+    "jaccard_prefix_pairs",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, shingle AS tok FROM ({_SHINGLES_SQL})),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter,
+           sa.n + sb.n - inter AS uni,
+           (inter * 1000000) // (sa.n + sb.n - inter) AS jac_e6
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter * 1000000 >= 500000 * (sa.n + sb.n - inter)
+    """,
+)
+def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs 3-shingle-Jaccard >= 0.5 via prefix filtering
+    (frequency-ascending global token order; candidates = prefix x
+    prefix collisions; integer cross-multiplied threshold). The
+    oracle is the INDEPENDENT quadratic share-any-token definition, so
+    a prefix-length bug (a missed pair) cannot hide."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return dedup.prefix_filter_pairs(docs, threshold_e6=500_000)

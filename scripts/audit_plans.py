@@ -167,6 +167,22 @@ CHECKS: dict[str, list[str]] = {
     # vector leakage audit: split lookups BROADCAST onto the pair
     # stream (narrow vec_id->split), never a sort-merge of the corpus
     "embedding_split_leakage": [r"BroadcastHashJoin"],
+    # round 6 — dbscan: the cached pair stream is re-read
+    # (InMemoryTableScan), not recomputed, by the count/core-edge/
+    # border branches (the 3x3 probe explode lives INSIDE the cached
+    # relation, so it does not print in the final plan)
+    "dbscan_clusters": [r"InMemoryTableScan"],
+    # staypoints: per-user windows + run aggregation ride ONE shuffle
+    "staypoints": [r"Window", r"HashAggregate"],
+    # bloom prune: orders scan pruned to the key column; the exact
+    # probe after pruning is a broadcast, never a shuffle of orders
+    "bloom_prune_join": [
+        r"ReadSchema: struct<o_custkey:bigint>",
+        r"BroadcastHashJoin",
+    ],
+    # prefix-filter similarity: aggregation present, and the verify
+    # join is an equi-join (never a product — see ANTI)
+    "jaccard_prefix_pairs": [r"HashAggregate", r"Join"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
@@ -220,6 +236,13 @@ ANTI_CHECKS: dict[str, list[str]] = {
     "gopher_filter": [r"Exchange"],  # map-only: no shuffle of any kind
     "c4_filter": [r"Exchange"],
     "embedding_split_leakage": [r"SortMergeJoin.*split|split.*SortMergeJoin"],
+    # round 6
+    "dbscan_clusters": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    # a partition-less window would single-reduce the event stream
+    "staypoints": [r"windowspecdefinition\(0,",
+                   r"\(\d+\) Exchange.*\(\d+\) Exchange"],
+    "bloom_prune_join": [r"SortMergeJoin"],
+    "jaccard_prefix_pairs": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
 }
 
 

@@ -155,3 +155,123 @@ def test_lsh_candidate_pairs_uses_shared_banding(spark):
         .collect()
     }
     assert pairs == manual and ("1", "2") in pairs
+
+
+# --- round-6 wave 2: dbscan / staypoints / bloom / prefix-filter ----------
+
+
+def test_dbscan_labels_hand_graph(spark):
+    """Two clusters + one border + noise, verified against the
+    textbook definition by hand. eps=10, min_pts=3.
+
+    Cluster A: (0,0),(0,5),(5,0),(3,3) — mutual neighbors, all core.
+    Border: (0,14) is within 10 of (0,5) [core] but has only 2
+    neighbors itself -> border, labeled with A's min id.
+    Cluster B: (100,100),(100,106),(106,100),(103,103) — all core.
+    Noise: (50,50) alone."""
+    from inputosm_spark.operators.spatial import dbscan
+
+    pts = [
+        (1, 0, 0), (2, 0, 5), (3, 5, 0), (4, 3, 3),
+        (5, 0, 14),
+        (6, 100, 100), (7, 100, 106), (8, 106, 100), (9, 103, 103),
+        (10, 50, 50),
+    ]
+    df = spark.createDataFrame(pts, "id long, lat_e4 long, lon_e4 long")
+    out = {r.id: (r.cluster, r.role) for r in dbscan(df, eps=10, min_pts=3).collect()}
+    assert out[1] == (1, "core")
+    assert out[2] == (1, "core")
+    assert out[3] == (1, "core")
+    assert out[4] == (1, "core")
+    assert out[5] == (1, "border")
+    assert all(out[i] == (6, "core") for i in (6, 7, 8, 9))
+    assert out[10] == (-1, "noise")
+
+
+def test_dbscan_cell_boundary_neighbors(spark):
+    """Points eps-close but in ADJACENT grid cells must still pair:
+    the 3x3 probe explode is exactly what makes the grid exact."""
+    from inputosm_spark.operators.spatial import dbscan
+
+    # eps=10 grid; the trio straddles a cell boundary (x = ...0)
+    pts = [(1, 0, 9995), (2, 0, 10002), (3, 0, 10009)]
+    df = spark.createDataFrame(pts, "id long, lat_e4 long, lon_e4 long")
+    out = {r.id: (r.cluster, r.role) for r in dbscan(df, eps=10, min_pts=3).collect()}
+    # 2 sees both others (core); 1 and 3 see two points each (border)
+    assert out[2] == (2, "core")
+    assert out[1] == (2, "border") and out[3] == (2, "border")
+
+
+def test_staypoints_runs_and_min_points(spark):
+    """Run segmentation: same-cell runs split by a visit elsewhere;
+    runs under min_points are dropped; dwell is exit-enter."""
+    from inputosm_spark.operators.spatial import staypoints
+
+    # user 1: 3 obs at cell(0,0)-ish, 1 obs far away, 2 obs back ->
+    # first run kept (n=3), second run (n=2) dropped
+    rows = [
+        (1, 100, 10, 10), (1, 160, 12, 11), (1, 220, 11, 13),
+        (1, 300, 800_000, 1_700_000),
+        (1, 400, 10, 12), (1, 460, 13, 10),
+        (2, 100, 10, 10), (2, 150, 10, 10), (2, 200, 10, 10), (2, 260, 10, 10),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_sec long, lat_e4 long, lon_e4 long")
+    out = staypoints(df, res=5, min_points=3).collect()
+    got = {(r.user_id): (r.enter_sec, r.exit_sec, r.dwell_sec, r.n_points) for r in out}
+    assert len(out) == 2
+    assert got[1] == (100, 220, 120, 3)
+    assert got[2] == (100, 260, 160, 4)
+
+
+def test_bloom_superset_and_deterministic(spark):
+    """Bloom pass set is a SUPERSET of true matches, and the exact
+    bit pattern (so the false-positive set too) is reproducible."""
+    from inputosm_spark.operators import bloom
+
+    small = spark.range(0, 50).select((F.col("id") * 7).alias("k"))
+    big = spark.range(0, 5000).select(F.col("id").alias("key"))
+    w1 = bloom.build_bloom_words(small, "k")
+    w2 = bloom.build_bloom_words(small, "k")
+    assert w1 == w2  # deterministic build
+    passed = {
+        r.key
+        for r in big.filter(bloom.might_contain_expr(w1, F.col("key"))).collect()
+    }
+    true_keys = {i * 7 for i in range(50)}
+    assert true_keys <= passed  # no false negatives, ever
+    # FP rate sanity: 150 set bits in 8064 -> well under 1% at k=3
+    assert len(passed - true_keys) < 50
+
+
+def test_prefix_filter_equals_bruteforce(spark):
+    """The prefix-filtered pair set must EQUAL the brute-force
+    all-pairs Jaccard>=t set (no probabilistic misses — that is the
+    operator's whole contract vs MinHash)."""
+    from inputosm_spark.operators.dedup import prefix_filter_pairs, word_shingles
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "a completely different sentence with other words here"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "words that share nothing with anything else at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_pairs(df, threshold_e6=500_000).collect()
+    }
+    tok = word_shingles(df, n=3)
+    sets = {
+        r.doc_id: set(r.toks)
+        for r in tok.groupBy("doc_id").agg(F.collect_set("shingle").alias("toks")).collect()
+    }
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                uni = len(sets[a] | sets[b])
+                if inter * 1_000_000 >= 500_000 * uni:
+                    want.add((a, b))
+    assert got == want and len(want) >= 1
