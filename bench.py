@@ -147,6 +147,10 @@ HEADLINE = [
     "staypoints",
     "bloom_prune_join",
     "jaccard_prefix_pairs",
+    "bfs_hops",
+    "approx_event_percentiles",
+    "od_flows",
+    "tpch_q4_priority",
 ]
 
 

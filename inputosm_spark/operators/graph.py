@@ -363,3 +363,52 @@ def triangle_counts(edges: DataFrame, degree_orient: bool = True) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("n_tri"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+) -> DataFrame:
+    """Multi-source bounded BFS over a DIRECTED edge list (src, dst):
+    (node, hops) = minimum edge count from any source, hops <=
+    max_hops — reachability cohorts, influence radii, contamination
+    blast-radius audits. Callers wanting undirected semantics
+    symmetrize the edge list first.
+
+    Scale shape: the loop-invariant edge list is repartitioned on src
+    and checkpoint-severed ONCE; each hop is then a single equi-join
+    of the (narrow) frontier against it, an anti-join against the
+    visited set, and a distinct — the frontier shuffles, the edge
+    list never re-shuffles. Rounds are localCheckpoint-severed
+    (iterative lineage) with an early exit on an empty frontier (one
+    cheap cached-RDD count per hop, bounded by max_hops). Entirely
+    deterministic integers, so a recursive-CTE oracle replays every
+    (node, hops) row.
+    """
+    ed = (
+        edges.select("src", "dst")
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=False)
+    )
+    visited = (
+        sources.select(F.col("node"), F.lit(0).cast("int").alias("hops"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.select(F.col("node").alias("src"))
+            .join(ed, "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

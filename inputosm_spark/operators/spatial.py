@@ -867,3 +867,51 @@ def staypoints(
             "n_points",
         )
     )
+
+
+def od_flows(
+    events: DataFrame,
+    res: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    lat_col: str = "lat_e4",
+    lon_col: str = "lon_e4",
+) -> DataFrame:
+    """Origin->destination flow matrix: for every CONSECUTIVE pair of
+    per-user observations that lands in two different grid cells,
+    count one movement from_cell -> to_cell, plus the distinct movers
+    — the aggregate-mobility primitive behind commute matrices, tile
+    demand models and flow maps (reference scope: per-entity tag
+    aggregation, `/root/reference/src/inputosmpbf.cpp` way/relation
+    iteration; the OD rollup is the trajectory analogue).
+
+    One lag() window partitioned by user (bounded per-user history,
+    ONE shuffle of the stream on user_id — same shape as
+    `staypoints`), then a groupBy on the (from, to) pair with a
+    partial-aggregating count and a distinct-user count. Self-loops
+    (consecutive points in the same cell) are excluded: they are
+    dwell, not movement. At 100 TB the pair-key aggregation is
+    hash-partitioned; hot corridors (metro cell pairs) stay one
+    reducer each but carry only counters, and AQE skew-split handles
+    the shuffle read side.
+    """
+    cell = cells.cell_id_expr(lat_col, lon_col, res)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "__cell")
+    seq = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts_sec"),
+        cell.alias("__cell"),
+    ).withColumn("__prev", F.lag("__cell").over(w))
+    return (
+        seq.filter(
+            F.col("__prev").isNotNull() & (F.col("__prev") != F.col("__cell"))
+        )
+        .groupBy(
+            F.col("__prev").alias("from_cell"),
+            F.col("__cell").alias("to_cell"),
+        )
+        .agg(
+            F.count("*").alias("n_moves"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

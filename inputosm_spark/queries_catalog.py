@@ -4735,3 +4735,157 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     return dedup.prefix_filter_pairs(docs, threshold_e6=500_000)
+
+
+@register(
+    "bfs_hops",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    s AS (SELECT p_partkey AS node FROM part WHERE p_partkey % 500 = 0),
+    reach AS (
+      SELECT node, 0 AS hops FROM s
+      UNION
+      SELECT e.dst AS node, r.hops + 1 AS hops
+      FROM reach r JOIN e ON e.src = r.node
+      WHERE r.hops < 2
+    )
+    SELECT node, CAST(min(hops) AS INT) AS hops FROM reach GROUP BY node
+    """,
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded BFS (2 hops) over the symmetrized
+    co-purchase graph from every 500th part: reachability cohorts /
+    blast-radius audit. Iterative frontier joins against a
+    once-repartitioned edge list; the oracle is a recursive-CTE
+    min-hop closure — an independent fixpoint formulation."""
+    from inputosm_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    sources = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 500 == 0)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return graph.bfs_hops(edges, sources, max_hops=2)
+
+
+@register("approx_event_percentiles")  # rows-only: sketch is
+# engine-specific; bounded by `event_percentiles` (exact, oracle-gated
+# over the same grouping) via the rsd-envelope pytest — the same
+# twin-gate pattern as approx_distinct_cells/distinct_cells_exact
+def q_approx_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch) per event_type — the
+    streaming-friendly quantile path for 100 TB (mergeable, bounded
+    memory, one pass; `percentile` holds the group's values). No
+    cross-engine oracle exists for the sketch; tests/pytest bounds it
+    against the exact twin."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 2).alias("v")
+    )
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("v", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.approx_percentile("v", F.lit(0.9), F.lit(10000)).alias("ap90"),
+        F.count("*").alias("n"),
+    )
+
+
+_OD_RES = 6
+_OD_CELL_SQL = cells.cell_id_sql(_STAY_LAT_SQL, _STAY_LON_SQL, _OD_RES)
+
+
+@register(
+    "od_flows",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS seq
+      FROM events
+    ),
+    pts AS (
+      SELECT user_id, ts_sec, {_OD_CELL_SQL} AS cell FROM seq
+    ),
+    tr AS (
+      SELECT user_id, cell,
+             lag(cell) OVER (PARTITION BY user_id
+                             ORDER BY ts_sec, cell) AS prev
+      FROM pts
+    )
+    SELECT prev AS from_cell, cell AS to_cell,
+           count(*) AS n_moves,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM tr WHERE prev IS NOT NULL AND prev <> cell
+    GROUP BY 1, 2
+    """,
+)
+def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin->destination flow matrix at res 6 over the synthesized
+    per-user trajectories (same deterministic point stream as
+    `staypoints`): consecutive-observation cell transitions rolled up
+    to (from_cell, to_cell, moves, distinct movers). One per-user lag
+    window + one pair-key aggregation; the oracle replays the same
+    two-window pipeline in DuckDB."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select(
+            "user_id", F.unix_timestamp("ts").alias("ts_sec"), "ts", "event_id"
+        )
+        .withColumn("__seq", F.row_number().over(w))
+        .drop("ts", "event_id")
+    )
+    pid = F.col("user_id") * F.lit(1000) + F.floor(
+        (F.col("__seq") - 1) / F.lit(4)
+    )
+    lat, lon = cells.point_exprs(pid)
+    pts = seq.select("user_id", "ts_sec", lat, lon)
+    return spatial.od_flows(pts, res=_OD_RES)
+
+
+@register(
+    "tpch_q4_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking) adapted to the test
+    schema: orders in a half-year window having at least one RETURNED
+    line, counted per priority. The EXISTS decorrelates to a LEFT
+    SEMI join — the probe side is pre-filtered lineitem keys, so the
+    semi join carries one narrow column and the (tiny) priority
+    rollup is a partial-agg; the oracle keeps the textbook correlated
+    EXISTS as the independent formulation."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )

@@ -183,6 +183,12 @@ CHECKS: dict[str, list[str]] = {
     # prefix-filter similarity: aggregation present, and the verify
     # join is an equi-join (never a product — see ANTI)
     "jaccard_prefix_pairs": [r"HashAggregate", r"Join"],
+    # OD flows: per-user lag window + pair-key aggregation
+    "od_flows": [r"Window", r"HashAggregate"],
+    # Q4: EXISTS decorrelated to a LEFT SEMI join (either build side)
+    "tpch_q4_priority": [r"LeftSemi|ExistenceJoin"],
+    # BFS final union: per-hop frontiers are checkpointed RDD scans
+    "bfs_hops": [r"Scan ExistingRDD|InMemoryTableScan"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
@@ -243,6 +249,9 @@ ANTI_CHECKS: dict[str, list[str]] = {
                    r"\(\d+\) Exchange.*\(\d+\) Exchange"],
     "bloom_prune_join": [r"SortMergeJoin"],
     "jaccard_prefix_pairs": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    # a partition-less window would single-reduce the event stream
+    "od_flows": [r"windowspecdefinition\(0,"],
+    "tpch_q4_priority": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
 }
 
 

@@ -275,3 +275,80 @@ def test_prefix_filter_equals_bruteforce(spark):
                 if inter * 1_000_000 >= 500_000 * uni:
                     want.add((a, b))
     assert got == want and len(want) >= 1
+
+
+def test_bfs_hops_matches_bruteforce(spark):
+    """bfs_hops on a hand graph (directed, with an unreachable island
+    and a node at hops > max_hops): every (node, hops) row must equal
+    the brute-force min-hop closure truncated at max_hops."""
+    from inputosm_spark.operators import graph
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),   # chain: 5 is 4 hops from 1
+        (1, 6), (6, 3),                    # shortcut: 3 via 2 paths
+        (7, 8),                            # island, unreachable
+        (2, 1),                            # back edge (cycle)
+    ]
+    ed = spark.createDataFrame(edges, "src long, dst long")
+    src = spark.createDataFrame([(1,), (10,)], "node long")  # 10: no out-edges
+    got = {
+        (r.node, r.hops)
+        for r in graph.bfs_hops(ed, src, max_hops=3).collect()
+    }
+    # brute force
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {1: 0, 10: 0}
+    frontier = [1, 10]
+    for h in range(1, 4):
+        nxt = []
+        for n in frontier:
+            for d in adj.get(n, []):
+                if d not in dist:
+                    dist[d] = h
+                    nxt.append(d)
+        frontier = nxt
+    assert got == set(dist.items())
+    assert (5, 3) not in got and 5 not in {n for n, _ in got}  # beyond max
+    assert (7, 1) not in got  # island never reached
+
+
+def test_approx_event_percentiles_envelope(spark, sf_dir):
+    """Twin gate for the rows-only percentile sketch: with accuracy
+    10000 the Greenwald-Khanna sketch's rank error is <= n/10000, so
+    on sf0.01 (n per group ~ thousands) the estimate must land within
+    the value-span of a +-max(1, n/1000) rank window around the exact
+    interpolated percentile. The n column must match exactly."""
+    from inputosm_spark.queries_catalog import queries
+
+    q = queries()
+    approx = {
+        r.event_type: (r.ap50, r.ap90, r.n)
+        for r in q["approx_event_percentiles"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: (r.p50, r.p90, r.n)
+        for r in q["event_percentiles"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact) and len(exact) > 0
+    # independent per-group value arrays for the rank-window bound
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", F.round("value", 2).alias("v"))
+        .collect()
+    )
+    vals: dict[str, list[float]] = {}
+    for r in rows:
+        vals.setdefault(r.event_type, []).append(r.v)
+    for et, (ap50, ap90, n) in approx.items():
+        p50, p90, n_exact = exact[et]
+        assert n == n_exact
+        a = np.sort(np.array(vals[et]))
+        slack = max(1, n // 1000)
+        for est, frac in ((ap50, 0.5), (ap90, 0.9)):
+            lo = a[max(0, int(frac * (n - 1)) - slack)]
+            hi = a[min(n - 1, int(frac * (n - 1)) + 1 + slack)]
+            assert lo <= est <= hi, (et, frac, est, lo, hi)
