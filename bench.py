@@ -151,6 +151,7 @@ HEADLINE = [
     "approx_event_percentiles",
     "od_flows",
     "tpch_q4_priority",
+    "colocation_pairs",
 ]
 
 

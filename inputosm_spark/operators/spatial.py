@@ -915,3 +915,68 @@ def od_flows(
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+def colocation_pairs(
+    obs: DataFrame,
+    res: int,
+    bucket_s: int,
+    min_shared: int = 2,
+    max_bucket: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    lat_col: str = "lat_e4",
+    lon_col: str = "lon_e4",
+) -> DataFrame:
+    """Co-location pairs: users observed in the SAME grid cell within
+    the SAME time bucket, kept when they share >= min_shared distinct
+    (cell, bucket) co-presences — the contact-graph / companionship
+    primitive (proximity tracing, co-travel detection, duplicate-actor
+    linking).
+
+    Shape: per-user presence set (user, cell, time-bucket) DISTINCT
+    (map-side array_distinct-style dedup of repeat pings — a user
+    pinging 100x in one bucket is ONE presence), then a self-equi-join
+    on the (cell, bucket) key with an a<b mask and a pair-count
+    aggregation. Never a cartesian: the join key is the bucket, and
+    `max_bucket` drops buckets with more than that many distinct users
+    entirely (the LSH skew-guard rule — a transit-hub cell-hour with
+    thousands of users is all-pairs quadratic at 100 TB and carries no
+    pairwise signal; the rule is a plain count predicate, so oracles
+    replay the drop). Time buckets are integer floor-division epochs —
+    engine-neutral and replayable.
+    """
+    cell = cells.cell_id_expr(lat_col, lon_col, res)
+    presence = (
+        obs.select(
+            F.col(user_col).alias("user_id"),
+            F.floor(F.col(ts_col) / F.lit(bucket_s)).cast("long").alias("tb"),
+            cell.alias("cell"),
+        )
+        .distinct()
+    )
+    if max_bucket is not None:
+        wb = Window.partitionBy("cell", "tb")
+        presence = (
+            presence.withColumn("__bn", F.count("*").over(wb))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
+    # the presence table feeds both join sides; cache it (no
+    # cross-branch subplan sharing) so the distinct runs once
+    presence = presence.cache()
+    a, b = presence.alias("a"), presence.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.tb") == F.col("b.tb"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= F.lit(min_shared))
+    )

@@ -4889,3 +4889,60 @@ def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+_COLOC_RES, _COLOC_BS, _COLOC_CAP = 4, 86400, 64
+_COLOC_CELL_SQL = cells.cell_id_sql(_STAY_LAT_SQL, _STAY_LON_SQL, _COLOC_RES)
+
+
+@register(
+    "colocation_pairs",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS seq
+      FROM events
+    ),
+    pres AS (
+      SELECT DISTINCT user_id, ts_sec // {_COLOC_BS} AS tb,
+             {_COLOC_CELL_SQL} AS cell
+      FROM seq
+    ),
+    keep AS (
+      SELECT user_id, tb, cell FROM (
+        SELECT *, count(*) OVER (PARTITION BY cell, tb) AS bn FROM pres)
+      WHERE bn <= {_COLOC_CAP}
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           count(*) AS n_shared
+    FROM keep a JOIN keep b
+      ON a.cell = b.cell AND a.tb = b.tb AND a.user_id < b.user_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def q_colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contact-graph co-location join: user pairs sharing >= 2 distinct
+    (res-4 cell, day) presences over the synthesized trajectories —
+    proximity tracing / co-travel detection. Bucketed self-equi-join
+    with the transit-hub drop rule (buckets > 64 distinct users are
+    dropped, replayed verbatim in the oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select(
+            "user_id", F.unix_timestamp("ts").alias("ts_sec"), "ts", "event_id"
+        )
+        .withColumn("__seq", F.row_number().over(w))
+        .drop("ts", "event_id")
+    )
+    pid = F.col("user_id") * F.lit(1000) + F.floor(
+        (F.col("__seq") - 1) / F.lit(4)
+    )
+    lat, lon = cells.point_exprs(pid)
+    pts = seq.select("user_id", "ts_sec", lat, lon)
+    return spatial.colocation_pairs(
+        pts, res=_COLOC_RES, bucket_s=_COLOC_BS,
+        min_shared=2, max_bucket=_COLOC_CAP,
+    )

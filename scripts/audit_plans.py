@@ -189,6 +189,9 @@ CHECKS: dict[str, list[str]] = {
     "tpch_q4_priority": [r"LeftSemi|ExistenceJoin"],
     # BFS final union: per-hop frontiers are checkpointed RDD scans
     "bfs_hops": [r"Scan ExistingRDD|InMemoryTableScan"],
+    # co-location: bucketed self-equi-join over the CACHED presence
+    # table (InMemoryTableScan on both sides), never a product
+    "colocation_pairs": [r"InMemoryTableScan"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
@@ -252,6 +255,7 @@ ANTI_CHECKS: dict[str, list[str]] = {
     # a partition-less window would single-reduce the event stream
     "od_flows": [r"windowspecdefinition\(0,"],
     "tpch_q4_priority": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    "colocation_pairs": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
 }
 
 

@@ -352,3 +352,48 @@ def test_approx_event_percentiles_envelope(spark, sf_dir):
             lo = a[max(0, int(frac * (n - 1)) - slack)]
             hi = a[min(n - 1, int(frac * (n - 1)) + 1 + slack)]
             assert lo <= est <= hi, (et, frac, est, lo, hi)
+
+
+def test_colocation_pairs_bruteforce_and_cap(spark):
+    """colocation_pairs on hand data: pair counts equal brute force,
+    min_shared filters, and an over-cap bucket (transit hub) drops —
+    users co-present ONLY there share nothing."""
+    from itertools import combinations
+
+    from inputosm_spark.operators import spatial
+
+    # obs: (user, ts_sec, lat_e4, lon_e4). res-2 cells are huge; use
+    # far-apart coords for distinct cells.
+    hub = (0, 0)            # everyone here at bucket 0 (dropped: 5 > cap 4)
+    spot_a = (800000, 900000)
+    spot_b = (-800000, -900000)
+    rows = []
+    for u in range(1, 6):
+        rows.append((u, 10, *hub))
+        rows.append((u, 10, *hub))  # repeat ping: ONE presence
+    for u in (1, 2):
+        rows.append((u, 3600, *spot_a))     # bucket 1 together
+        rows.append((u, 7200, *spot_b))     # bucket 2 together
+    rows.append((3, 3600, *spot_a))         # with 1,2 once only
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_sec long, lat_e4 long, lon_e4 long"
+    )
+    got = {
+        (r.user_a, r.user_b): r.n_shared
+        for r in spatial.colocation_pairs(
+            df, res=2, bucket_s=3600, min_shared=2, max_bucket=4
+        ).collect()
+    }
+    assert got == {(1, 2): 2}
+    # without the cap the hub bucket contributes all 10 pairs once
+    got_nocap = {
+        (r.user_a, r.user_b): r.n_shared
+        for r in spatial.colocation_pairs(
+            df, res=2, bucket_s=3600, min_shared=1, max_bucket=None
+        ).collect()
+    }
+    want = {p: 1 for p in combinations(range(1, 6), 2)}
+    want[(1, 2)] = 3
+    want[(1, 3)] = 2
+    want[(2, 3)] = 2
+    assert got_nocap == want
