@@ -538,3 +538,103 @@ def run_attribution_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: streaming OD (cell-transition) detection
+# ---------------------------------------------------------------------------
+
+OD_STATE_DDL = "last_ts timestamp, last_cell long"
+OD_OUT_DDL = "user_id long, from_cell long, to_cell long, move_ts timestamp"
+
+
+def stream_od_transitions(obs: DataFrame, res: int) -> DataFrame:
+    """Streaming origin->destination transition detection — the
+    stateful twin of `operators/spatial.od_flows`' transition stage:
+    each user's last-known grid cell lives in state (two scalars,
+    bounded by user cardinality, NOT by stream length), and every
+    arriving observation that lands in a DIFFERENT cell emits one
+    (user, from_cell, to_cell, move_ts) row. Downstream the flow
+    matrix is a plain streaming groupBy count — built-in.
+
+    The cell id is computed in CATALYST before the stateful operator
+    (map-side, codegen), so the Python state fn touches only (ts,
+    cell) pairs. In-batch rows are processed in (ts, cell) event-time
+    order — the same total order as the batch twin — and rows older
+    than the state's last_ts (cross-batch stragglers beyond the
+    watermark's guarantee) are dropped, the standard streaming
+    late-data contract.
+
+    `obs` needs (user_id, ts, lat_e4, lon_e4).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from inputosm_spark.functions import cells
+
+    with_cell = obs.select(
+        "user_id", "ts",
+        cells.cell_id_expr("lat_e4", "lon_e4", res).alias("cell"),
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        user_id = key[0]
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["ts", "cell"]).reset_index(drop=True)
+        last_ts, last_cell = state.get if state.exists else (None, None)
+        if last_ts is not None:
+            rows = rows[rows["ts"] >= last_ts].reset_index(drop=True)
+        if len(rows):
+            # vectorized transition detection: shift-compare, with the
+            # carried state cell prepended as row -1's value. shift()
+            # on plain int64 upcasts through FLOAT64 (NaN hole) and
+            # rounds 2^58-packed cell ids — nullable Int64 keeps every
+            # bit exact
+            prev = rows["cell"].astype("Int64").shift(1)
+            if last_cell is not None:
+                prev.iloc[0] = last_cell
+            moved = prev.notna() & (rows["cell"] != prev)
+            state.update(
+                (
+                    rows["ts"].iloc[-1].to_pydatetime(),
+                    int(rows["cell"].iloc[-1]),
+                )
+            )
+            if moved.any():
+                hit = rows[moved]
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id] * len(hit),
+                        "from_cell": prev[moved].astype("int64").values,
+                        "to_cell": hit["cell"].values,
+                        "move_ts": hit["ts"].values,
+                    }
+                )
+
+    return (
+        with_cell.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OD_OUT_DDL,
+            stateStructType=OD_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_od_stream(obs: DataFrame, res: int, checkpoint_path: str,
+                  out_path: str):
+    """Drain the streaming OD detector to parquet (availableNow)."""
+    q = (
+        stream_od_transitions(obs, res)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

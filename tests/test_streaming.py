@@ -420,3 +420,70 @@ def test_streaming_pbf_sink_roundtrips(spark, sf_dir, tmp_path):
         F.countDistinct(F.element_at("tags", F.lit("p"))).alias("n_p"),
     ).collect()[0]
     assert agg(back) == agg(ent)
+
+
+def test_stream_od_transitions_matches_batch(spark, sf_dir, tmp_path):
+    """Stateful OD detector vs the batch lag-window twin, with state
+    exercised ACROSS micro-batches: the trajectory is split into two
+    time-ordered parquet files drained one per trigger, so every
+    user's last cell must carry through GroupState between batches."""
+    from pyspark.sql import Window
+
+    from inputosm_spark.functions import cells
+
+    ev = spark.read.parquet(_events_path(sf_dir))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "ts", "event_id").withColumn(
+        "__seq", F.row_number().over(w)
+    )
+    pid = F.col("user_id") * F.lit(1000) + F.floor(
+        (F.col("__seq") - 1) / F.lit(4)
+    )
+    lat, lon = cells.point_exprs(pid)
+    obs = seq.select("user_id", "ts", lat, lon)
+
+    # two time-ordered landing files (cross-batch state carry)
+    med = obs.approxQuantile("user_id", [0.5], 0.0)[0]  # any split works;
+    # split on TIME so batch 2 continues batch 1's trajectories
+    tmed = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
+    landing = tmp_path / "od_landing"
+    landing.mkdir()
+    obs.filter(F.unix_timestamp("ts") <= tmed).coalesce(1).write.parquet(
+        str(landing / "b1.parquet")
+    )
+    obs.filter(F.unix_timestamp("ts") > tmed).coalesce(1).write.parquet(
+        str(landing / "b2.parquet")
+    )
+    src = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, lat_e4 long, lon_e4 long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing) + "/*")
+    )
+    out = str(tmp_path / "od_out")
+    stream_ops.run_od_stream(src, 6, str(tmp_path / "od_ckpt"), out)
+    got = spark.read.parquet(out)
+
+    cell = cells.cell_id_expr("lat_e4", "lon_e4", 6)
+    w2 = Window.partitionBy("user_id").orderBy("ts", "__cell")
+    batch = (
+        obs.select("user_id", "ts", cell.alias("__cell"))
+        .withColumn("__prev", F.lag("__cell").over(w2))
+        .filter(F.col("__prev").isNotNull() & (F.col("__prev") != F.col("__cell")))
+        .select(
+            "user_id",
+            F.col("__prev").alias("from_cell"),
+            F.col("__cell").alias("to_cell"),
+            F.col("ts").alias("move_ts"),
+        )
+    )
+    # the stream writes TIMESTAMP (tz) while the batch frame carries
+    # the parquet's TIMESTAMP_NTZ — normalize both to epoch seconds
+    norm = lambda df: df.select(
+        "user_id", "from_cell", "to_cell",
+        F.unix_timestamp(F.col("move_ts").cast("timestamp")).alias("mts"),
+    )
+    got_n, batch_n = norm(got), norm(batch)
+    assert got.count() == batch.count() and got.count() > 0
+    assert got_n.exceptAll(batch_n).isEmpty() and batch_n.exceptAll(got_n).isEmpty()
