@@ -53,6 +53,11 @@ def register(name: str, oracle: str | None = None):
 # always runs the full set).
 _DRIVER_WINDOW_FIRST = [
     # round-6: new or behavior-changed this round
+    "bfs_hops",             # new: bounded multi-source BFS
+    "od_flows",             # new: OD cell-transition matrix
+    "colocation_pairs",     # new: contact-graph co-location join
+    "tpch_q4_priority",     # new: EXISTS -> LEFT SEMI classic
+    "approx_event_percentiles",  # new rows-only sketch (twin-gated)
     "dbscan_clusters",      # new: grid-partitioned DBSCAN
     "staypoints",           # new: trajectory stay-point runs
     "bloom_prune_join",     # new: deterministic bloom join pruning
