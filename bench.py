@@ -152,6 +152,7 @@ HEADLINE = [
     "od_flows",
     "tpch_q4_priority",
     "colocation_pairs",
+    "label_propagation",
 ]
 
 

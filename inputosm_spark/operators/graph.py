@@ -412,3 +412,63 @@ def bfs_hops(
         visited = visited.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Community detection via SYNCHRONOUS label propagation over an
+    undirected edge list (u, v), canonical or not: `n_iter` fixed
+    rounds, label(v) starts as v, and each round every node adopts the
+    most frequent label among its neighbors with ties broken toward
+    the SMALLEST label — fully deterministic (no RNG, no asynchronous
+    order-dependence), so a SQL engine replays every round with an
+    unrolled CTE (count → row_number argmax), the pagerank contract.
+
+    Scale shape per round: one equi-join of the (node, label) frame
+    against the symmetrized edge list (narrow labels side — broadcast
+    when small, shuffle-hash at scale), one (dst, label) map-side-
+    combined count, one per-dst ranking window (bounded: at most
+    #distinct-neighbor-labels rows per node). The symmetrized edge
+    list is produced by ONE explode (both directions per input row —
+    the unionAll rule) and checkpoint-severed once; iterations sever
+    their label frame each round (iterative-lineage rule). Fixed
+    iteration count, no driver-side convergence polling: at 100 TB the
+    round count is the budget knob, and synchronous LPA's known
+    oscillation modes are bounded by it.
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+                    F.struct(F.col("v").alias("s"), F.col("u").alias("d")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
+        .repartition(F.col("s"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("c"), F.asc("label")
+    )
+    for _ in range(n_iter):
+        labels = (
+            sym.join(
+                labels.select(F.col("node").alias("s"), "label"), "s"
+            )
+            .groupBy(F.col("d").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -53,6 +53,7 @@ def register(name: str, oracle: str | None = None):
 # always runs the full set).
 _DRIVER_WINDOW_FIRST = [
     # round-6: new or behavior-changed this round
+    "label_propagation",    # new: synchronous LPA communities
     "bfs_hops",             # new: bounded multi-source BFS
     "od_flows",             # new: OD cell-transition matrix
     "colocation_pairs",     # new: contact-graph co-location join
@@ -4950,4 +4951,69 @@ def q_colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.colocation_pairs(
         pts, res=_COLOC_RES, bucket_s=_COLOC_BS,
         min_shared=2, max_bucket=_COLOC_CAP,
+    )
+
+
+@register(
+    "label_propagation",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT u AS s, v AS d FROM e0
+          UNION ALL SELECT v AS s, u AS d FROM e0),
+    l0 AS (SELECT DISTINCT s AS node, s AS label FROM e),
+    c1 AS (SELECT e.d AS node, l.label, count(*) AS c
+           FROM e JOIN l0 l ON l.node = e.s GROUP BY 1, 2),
+    l1 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, label) AS rn
+             FROM c1) WHERE rn = 1),
+    c2 AS (SELECT e.d AS node, l.label, count(*) AS c
+           FROM e JOIN l1 l ON l.node = e.s GROUP BY 1, 2),
+    l2 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, label) AS rn
+             FROM c2) WHERE rn = 1),
+    c3 AS (SELECT e.d AS node, l.label, count(*) AS c
+           FROM e JOIN l2 l ON l.node = e.s GROUP BY 1, 2),
+    l3 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, label) AS rn
+             FROM c3) WHERE rn = 1)
+    SELECT l3.node, l3.label, cs.community_size
+    FROM l3 JOIN (SELECT label, count(*) AS community_size
+                  FROM l3 GROUP BY label) cs ON cs.label = l3.label
+    """,
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (3 rounds,
+    min-label tie-break) over the co-purchase graph: every node's
+    final label plus its community size. The oracle unrolls all three
+    rounds as count -> row_number-argmax CTE pairs — the pagerank
+    unrolling contract applied to LPA."""
+    from inputosm_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    labels = graph.label_propagation(edges, n_iter=3)
+    # labels is checkpoint-severed (cheap RDD scan), so the size
+    # rollup branch re-reads the materialized rounds, not the loop
+    sizes = labels.groupBy("label").agg(
+        F.count("*").alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node", "label", "community_size"
     )

@@ -192,6 +192,9 @@ CHECKS: dict[str, list[str]] = {
     # co-location: bucketed self-equi-join over the CACHED presence
     # table (InMemoryTableScan on both sides), never a product
     "colocation_pairs": [r"InMemoryTableScan"],
+    # LPA rounds are checkpoint-severed: final plan reads the last
+    # round's materialized RDD, map-side-combined size rollup on top
+    "label_propagation": [r"Scan ExistingRDD", r"HashAggregate"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
@@ -256,6 +259,7 @@ ANTI_CHECKS: dict[str, list[str]] = {
     "od_flows": [r"windowspecdefinition\(0,"],
     "tpch_q4_priority": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     "colocation_pairs": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    "label_propagation": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
 }
 
 

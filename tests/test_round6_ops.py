@@ -397,3 +397,43 @@ def test_colocation_pairs_bruteforce_and_cap(spark):
     want[(1, 3)] = 2
     want[(2, 3)] = 2
     assert got_nocap == want
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Synchronous LPA vs a brute-force Python replay on a barbell
+    graph (two K4 cliques joined by one bridge): labels after each
+    fixed round must match exactly (deterministic min tie-break)."""
+    from inputosm_spark.operators import graph
+
+    k4a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    edges = k4a + k4b + [(3, 10)]
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+
+    def ref_lpa(n_iter):
+        lab = {n: n for n in adj}
+        for _ in range(n_iter):
+            nxt = {}
+            for n, nbrs in adj.items():
+                cnt: dict[int, int] = {}
+                for m in nbrs:
+                    cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+                best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                nxt[n] = best
+            lab = nxt
+        return lab
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    for it in (1, 3):
+        got = {
+            r.node: r.label
+            for r in graph.label_propagation(df, n_iter=it).collect()
+        }
+        assert got == ref_lpa(it), f"n_iter={it}"
+    # after 3 rounds the two cliques are two communities
+    final = ref_lpa(3)
+    assert len({final[n] for n in range(4)}) == 1
+    assert len({final[n] for n in range(10, 14)}) == 1
