@@ -74,3 +74,73 @@ def test_repartition_salted_preserves_rows_and_spreads(spark, sf_dir):
         .filter(F.col("__salt") != 0)
         .isEmpty()
     ), "cold keys keep salt 0 (stay co-located)"
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The engine's scale contract says hot join keys are handled by
+    AQE's skew-join split (session.py enables it). Prove it actually
+    fires: a key carrying half the left side, thresholds lowered to
+    test scale, must plan as SortMergeJoin(skew=true) with an
+    AQEShuffleRead marked skewed — and the aggregate over the split
+    partitions must equal the exact closed form (the split is a
+    physical re-chunking, never a semantic change)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(600000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("a"),
+        )
+        right = spark.range(5000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("b")
+        )
+        j = left.join(right, "k").select(
+            F.sum(F.col("a") + F.col("b")).alias("s")
+        )
+        [row] = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+        # exact closed form: sum over joined (a+b) pairs
+        import itertools
+
+        # left rows: even ids -> k=0; odd ids -> k=id%1000 (odd ks only)
+        # right: ids 0..4999, k=id%1000, 5 rows per k
+        # compute with integer arithmetic, small enough to replicate
+        n = 600000
+        sum_b_per_k = {}
+        cnt_b_per_k = {}
+        for rid in range(5000):
+            kk = rid % 1000
+            sum_b_per_k[kk] = sum_b_per_k.get(kk, 0) + rid
+            cnt_b_per_k[kk] = cnt_b_per_k.get(kk, 0) + 1
+        tot = 0
+        # k=0 hot: left a-values = even ids
+        evens_sum = sum(range(0, n, 2))
+        evens_cnt = n // 2
+        tot += evens_sum * cnt_b_per_k[0] + sum_b_per_k[0] * evens_cnt
+        # odd ids: k = id % 1000 (odd), a = id
+        for kk in range(1, 1000, 2):
+            ids = range(kk, n, 1000)
+            s_a = sum(ids)
+            c_a = len(ids)
+            tot += s_a * cnt_b_per_k[kk] + sum_b_per_k[kk] * c_a
+        assert row.s == tot
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
