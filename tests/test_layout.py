@@ -149,3 +149,53 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_compaction_planner_and_partition_rewrite(spark, sf_dir, tmp_path):
+    """Fragment a corpus (many tiny files per partition), plan
+    compaction, rewrite only the flagged partitions, and verify:
+    (a) the planner's counts match the filesystem, (b) the rewrite
+    hits the target file count, (c) row-level content is IDENTICAL
+    after the swap, (d) healthy partitions are left untouched."""
+    import glob
+    import os
+
+    df = layout.with_layout_columns(
+        _docs_with_points(spark, sf_dir), n_buckets=8
+    )
+    out = str(tmp_path / "frag_corpus")
+    # deliberately fragment: one file per (prefix, bucket) pair
+    (
+        df.repartition(24, F.col("cell_prefix"), F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("cell_prefix")
+        .parquet(out)
+    )
+    # materialize BEFORE compaction deletes the original files
+    before = spark.read.parquet(out).localCheckpoint(eager=True)
+    rows_before = before.count()
+    plan = layout.plan_compaction(spark, out, target_bytes=1 << 30).collect()
+    assert len(plan) > 0
+    mtimes_untouched = {}
+    for p in plan:
+        pdir = os.path.join(out, f"cell_prefix={p.cell_prefix}")
+        files = glob.glob(os.path.join(pdir, "*.parquet"))
+        assert len(files) == p.n_files
+        assert p.target_files == 1  # 1 GB target swallows test data
+        if not p.needs_compaction:
+            mtimes_untouched[p.cell_prefix] = sorted(files)
+    victims = [p for p in plan if p.needs_compaction]
+    assert victims, "fragmented fixture must need compaction"
+    for p in victims:
+        layout.compact_partition(spark, out, p.cell_prefix, p.target_files)
+    after = spark.read.parquet(out)
+    assert after.count() == rows_before
+    assert after.exceptAll(before).isEmpty()
+    assert before.exceptAll(after).isEmpty()
+    for p in victims:
+        pdir = os.path.join(out, f"cell_prefix={p.cell_prefix}")
+        assert len(glob.glob(os.path.join(pdir, "*.parquet"))) == p.target_files
+        assert not os.path.exists(pdir + ".compact_tmp")
+    for cp, files in mtimes_untouched.items():
+        pdir = os.path.join(out, f"cell_prefix={cp}")
+        assert sorted(glob.glob(os.path.join(pdir, "*.parquet"))) == files
