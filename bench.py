@@ -153,6 +153,7 @@ HEADLINE = [
     "tpch_q4_priority",
     "colocation_pairs",
     "label_propagation",
+    "areal_interpolation",
 ]
 
 

@@ -980,3 +980,94 @@ def colocation_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= F.lit(min_shared))
     )
+
+
+def areal_interpolation(
+    boxes: DataFrame,
+    res: int,
+    value_col: str = "value",
+) -> DataFrame:
+    """Area-weighted vector->raster allocation (areal interpolation):
+    each axis-aligned box distributes its integer value over every
+    res-`res` grid cell it intersects, proportional to the EXACT
+    integer intersection area, with floor division — the population /
+    demand-surface downscaling primitive (census block -> tile),
+    complementing `tile_counts` (point counting) and `rasterize`
+    (membership). Per-cell output: sum of allocations + contributing
+    box count.
+
+    Boxes carry closed-open integer rects (lat0 <= lat < lat1,
+    lon0 <= lon < lon1 in e4 degrees). The covering-cell fan-out is
+    two `sequence()` explodes (map-side Generate, no join); the
+    allocation `value * inter_area div box_area` stays in int64 under
+    an in-plan assert_true guard (value bounded by 2^62 / box_area,
+    compared WITHOUT multiplying — the priority_sample overflow-safe
+    guard shape), and every arithmetic step is engine-neutral integer
+    math a SQL oracle replays bit-for-bit. Requires a res whose cell
+    edges divide the e4 grid exactly (res 5: 56250 x 56250); raises
+    otherwise — a non-integral cell edge would silently shear the
+    allocation.
+
+    At 100 TB the fan-out is bounded by box perimeter / cell size per
+    row (choose res so typical boxes cover O(1..100) cells) and the
+    per-cell rollup is one map-side-combined shuffle.
+    """
+    nx, ny = 2 ** (res + 1), 2**res
+    w_lon = 2 * geo.LON_MAX_E4 // nx
+    w_lat = 2 * geo.LAT_MAX_E4 // ny
+    if w_lon * nx != 2 * geo.LON_MAX_E4 or w_lat * ny != 2 * geo.LAT_MAX_E4:
+        raise ValueError(
+            f"res {res}: cell edges {2*geo.LON_MAX_E4}/{nx}, "
+            f"{2*geo.LAT_MAX_E4}/{ny} are not integral"
+        )
+    v = F.col(value_col).cast("long")
+    area = (F.col("lat1") - F.col("lat0")) * (F.col("lon1") - F.col("lon0"))
+    # loud int64 guard: value * inter_area <= value * box_area < 2^62
+    guard = F.assert_true(
+        v <= F.lit(1 << 62) / area,
+        F.lit("areal_interpolation: value * box_area would overflow int64"),
+    )
+    x0 = F.floor((F.col("lon0") + F.lit(geo.LON_MAX_E4)) / F.lit(w_lon))
+    x1 = F.floor((F.col("lon1") - 1 + F.lit(geo.LON_MAX_E4)) / F.lit(w_lon))
+    y0 = F.floor((F.col("lat0") + F.lit(geo.LAT_MAX_E4)) / F.lit(w_lat))
+    y1 = F.floor((F.col("lat1") - 1 + F.lit(geo.LAT_MAX_E4)) / F.lit(w_lat))
+    fan = (
+        boxes.select(
+            "lat0", "lat1", "lon0", "lon1",
+            (v + F.coalesce(guard.cast("long"), F.lit(0))).alias("__v"),
+            area.alias("__area"),
+            F.explode(F.sequence(x0, x1)).alias("x"),
+            y0.alias("__y0"), y1.alias("__y1"),
+        )
+        .select(
+            "*", F.explode(F.sequence(F.col("__y0"), F.col("__y1"))).alias("y")
+        )
+    )
+    cell_lon0 = F.col("x") * F.lit(w_lon) - F.lit(geo.LON_MAX_E4)
+    cell_lat0 = F.col("y") * F.lit(w_lat) - F.lit(geo.LAT_MAX_E4)
+    iw = F.least(F.col("lon1"), cell_lon0 + F.lit(w_lon)) - F.greatest(
+        F.col("lon0"), cell_lon0
+    )
+    ih = F.least(F.col("lat1"), cell_lat0 + F.lit(w_lat)) - F.greatest(
+        F.col("lat0"), cell_lat0
+    )
+    cell = (
+        F.lit(res).cast("long") * F.lit(1 << geo._RES_SHIFT)
+        + F.col("y") * F.lit(1 << geo._Y_SHIFT)
+        + F.col("x")
+    )
+    return (
+        fan.select(
+            cell.alias("cell"),
+            (F.col("__v") * (iw * ih)).alias("__num"),
+            F.col("__area"),
+        )
+        # int64 `div`, never double floor(): __num reaches ~2^62 where
+        # float64 division mis-floors
+        .select("cell", F.expr("__num div __area").alias("alloc"))
+        .groupBy("cell")
+        .agg(
+            F.sum("alloc").cast("long").alias("alloc_sum"),
+            F.count("*").cast("long").alias("n_boxes"),
+        )
+    )

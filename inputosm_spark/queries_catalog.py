@@ -54,6 +54,7 @@ def register(name: str, oracle: str | None = None):
 _DRIVER_WINDOW_FIRST = [
     # round-6: new or behavior-changed this round
     "label_propagation",    # new: synchronous LPA communities
+    "areal_interpolation",  # new: area-weighted raster allocation
     "bfs_hops",             # new: bounded multi-source BFS
     "od_flows",             # new: OD cell-transition matrix
     "colocation_pairs",     # new: contact-graph co-location join
@@ -5017,3 +5018,70 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(sizes, "label").select(
         "node", "label", "community_size"
     )
+
+
+_AREAL_RES, _AREAL_W = 5, 56_250  # 3_600_000/64 = 1_800_000/32 exactly
+
+
+@register(
+    "areal_interpolation",
+    oracle=f"""
+    WITH b AS (
+      SELECT -800000 + i * 130000 AS lat0,
+             -800000 + i * 130000 + 60000 + (i % 3) * 40000 AS lat1,
+             -1700000 + i * 260000 AS lon0,
+             -1700000 + i * 260000 + 90000 + (i % 4) * 50000 AS lon1,
+             1000 + i * 77 AS v
+      FROM unnest(range(0, 12)) AS t(i)
+      UNION ALL
+      SELECT -450000, 450000, -900000, 900000, 50000
+    ),
+    fan AS (
+      SELECT b.*, tx.x, ty.y
+      FROM b,
+           unnest(range((lon0 + 1800000) // {_AREAL_W},
+                        (lon1 - 1 + 1800000) // {_AREAL_W} + 1)) AS tx(x),
+           unnest(range((lat0 + 900000) // {_AREAL_W},
+                        (lat1 - 1 + 900000) // {_AREAL_W} + 1)) AS ty(y)
+    ),
+    alloc AS (
+      SELECT ({_AREAL_RES} * 288230376151711744
+              + y * 536870912 + x) AS cell,
+             (v * ((least(lon1, (x + 1) * {_AREAL_W} - 1800000)
+                    - greatest(lon0, x * {_AREAL_W} - 1800000))
+                   * (least(lat1, (y + 1) * {_AREAL_W} - 900000)
+                      - greatest(lat0, y * {_AREAL_W} - 900000))))
+             // ((lat1 - lat0) * (lon1 - lon0)) AS alloc
+      FROM fan
+    )
+    SELECT cell, CAST(sum(alloc) AS BIGINT) AS alloc_sum,
+           count(*) AS n_boxes
+    FROM alloc GROUP BY cell
+    """,
+)
+def q_areal_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-weighted vector->raster downscaling over the shared box
+    fixture (+ deterministic integer values): each box's value floor-
+    divides across its res-5 covering cells proportional to exact
+    integer intersection areas (operators/spatial.areal_interpolation;
+    the oracle replays the two-axis generate_series fan-out and the
+    same div arithmetic)."""
+    i = F.col("id")
+    lat0 = F.lit(-800_000) + i * 130_000
+    lon0 = F.lit(-1_700_000) + i * 260_000
+    rects = spark.range(12).select(
+        lat0.alias("lat0"),
+        (lat0 + 60_000 + F.pmod(i, F.lit(3)) * 40_000).alias("lat1"),
+        lon0.alias("lon0"),
+        (lon0 + 90_000 + F.pmod(i, F.lit(4)) * 50_000).alias("lon1"),
+        (F.lit(1000) + i * 77).alias("value"),
+    ).unionAll(
+        spark.range(1).select(
+            F.lit(-450_000).cast("long").alias("lat0"),
+            F.lit(450_000).cast("long").alias("lat1"),
+            F.lit(-900_000).cast("long").alias("lon0"),
+            F.lit(900_000).cast("long").alias("lon1"),
+            F.lit(50_000).cast("long").alias("value"),
+        )
+    )
+    return spatial.areal_interpolation(rects, res=_AREAL_RES)

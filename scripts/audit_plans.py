@@ -195,6 +195,9 @@ CHECKS: dict[str, list[str]] = {
     # LPA rounds are checkpoint-severed: final plan reads the last
     # round's materialized RDD, map-side-combined size rollup on top
     "label_propagation": [r"Scan ExistingRDD", r"HashAggregate"],
+    # areal interpolation: two map-side Generates (x/y fan-out) into a
+    # map-side-combined rollup — no join anywhere
+    "areal_interpolation": [r"Generate", r"partial_sum", r"HashAggregate"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
@@ -260,6 +263,7 @@ ANTI_CHECKS: dict[str, list[str]] = {
     "tpch_q4_priority": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     "colocation_pairs": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     "label_propagation": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    "areal_interpolation": [r"Join"],  # pure fan-out + rollup, no join
 }
 
 

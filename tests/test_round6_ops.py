@@ -437,3 +437,46 @@ def test_label_propagation_matches_python_reference(spark):
     final = ref_lpa(3)
     assert len({final[n] for n in range(4)}) == 1
     assert len({final[n] for n in range(10, 14)}) == 1
+
+
+def test_areal_interpolation_conservation_and_guards(spark):
+    """Mass conservation: a box's total allocation is value - r where
+    0 <= r < n_cells (one floor per cell); a CELL-ALIGNED box
+    allocates exactly its value; a non-integral res raises; the int64
+    overflow guard fires loudly."""
+    from pyspark.sql.utils import AnalysisException
+
+    from inputosm_spark.operators import spatial
+
+    W = 56_250  # res-5 cell edge
+    aligned = spark.createDataFrame(
+        [(0, 2 * W, 0, 3 * W, 6000)],
+        "lat0 long, lat1 long, lon0 long, lon1 long, value long",
+    )
+    out = spatial.areal_interpolation(aligned, res=5).collect()
+    assert sum(r.alloc_sum for r in out) == 6000
+    assert len(out) == 6 and all(r.alloc_sum == 1000 for r in out)
+
+    ragged = spark.createDataFrame(
+        [(100, W + 3517, 200, 2 * W + 7919, 99991)],
+        "lat0 long, lat1 long, lon0 long, lon1 long, value long",
+    )
+    rout = spatial.areal_interpolation(ragged, res=5).collect()
+    tot = sum(r.alloc_sum for r in rout)
+    assert 99991 - len(rout) <= tot <= 99991
+
+    import pytest as _pytest
+
+    # res 6: nx=128 -> 28125 exact; res 7: nx=256 -> 14062.5 NOT integral
+    with _pytest.raises(ValueError):
+        spatial.areal_interpolation(aligned, res=7)
+
+    big = spark.createDataFrame(
+        [(-900_000, 900_000, -1_800_000, 1_800_000, 1 << 45)],
+        "lat0 long, lat1 long, lon0 long, lon1 long, value long",
+    )
+    try:
+        spatial.areal_interpolation(big, res=5).collect()
+        raise AssertionError("overflow guard did not fire")
+    except Exception as e:  # Py4J wraps the SparkRuntimeException
+        assert "overflow" in str(e) or "USER_RAISED" in str(e) or "assert" in str(e).lower()
