@@ -154,6 +154,7 @@ HEADLINE = [
     "colocation_pairs",
     "label_propagation",
     "areal_interpolation",
+    "rolling_active_users",
 ]
 
 

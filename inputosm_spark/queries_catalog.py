@@ -55,6 +55,7 @@ _DRIVER_WINDOW_FIRST = [
     # round-6: new or behavior-changed this round
     "label_propagation",    # new: synchronous LPA communities
     "areal_interpolation",  # new: area-weighted raster allocation
+    "rolling_active_users",  # new: sliding-window distinct
     "bfs_hops",             # new: bounded multi-source BFS
     "od_flows",             # new: OD cell-transition matrix
     "colocation_pairs",     # new: contact-graph co-location join
@@ -5085,3 +5086,58 @@ def q_areal_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return spatial.areal_interpolation(rects, res=_AREAL_RES)
+
+
+@register(
+    "rolling_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    fan AS (
+      SELECT ud.user_id, ud.day + ofs.o AS day
+      FROM ud, unnest(range(0, 7)) AS ofs(o)
+    )
+    SELECT d.day,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS wau
+    FROM days d JOIN fan f ON f.day = d.day
+    GROUP BY d.day
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per observed day — the
+    sliding-window DISTINCT aggregate, which no built-in range window
+    supports (count(distinct) over a moving frame is disallowed).
+    Engine shape: per-user presence days dedup MAP-SIDE (array_distinct
+    rule analogue: distinct on the narrow (user, day) pair BEFORE any
+    fan-out), then each presence fans to the 7 days it keeps the user
+    active (one explode, x7 bounded), then one distinct-count per day
+    restricted to days that actually occur. At 100 TB: the fan-out is
+    a fixed small multiple of the DEDUPED presence table (users x
+    days, not raw events), and the count-distinct is Spark's standard
+    two-phase partial aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / F.lit(86400))
+            .cast("long")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("day"),
+    )
+    return (
+        days.join(fan, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

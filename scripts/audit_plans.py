@@ -198,6 +198,8 @@ CHECKS: dict[str, list[str]] = {
     # areal interpolation: two map-side Generates (x/y fan-out) into a
     # map-side-combined rollup — no join anywhere
     "areal_interpolation": [r"Generate", r"partial_sum", r"HashAggregate"],
+    # sliding distinct: explode fan-out + two-phase distinct count
+    "rolling_active_users": [r"Generate", r"HashAggregate"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
