@@ -155,6 +155,7 @@ HEADLINE = [
     "label_propagation",
     "areal_interpolation",
     "rolling_active_users",
+    "scd2_history",
 ]
 
 

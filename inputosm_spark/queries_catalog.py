@@ -56,6 +56,7 @@ _DRIVER_WINDOW_FIRST = [
     "label_propagation",    # new: synchronous LPA communities
     "areal_interpolation",  # new: area-weighted raster allocation
     "rolling_active_users",  # new: sliding-window distinct
+    "scd2_history",         # new: SCD type-2 validity intervals
     "bfs_hops",             # new: bounded multi-source BFS
     "od_flows",             # new: OD cell-transition matrix
     "colocation_pairs",     # new: contact-graph co-location join
@@ -5140,4 +5141,61 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         days.join(fan, "day")
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    WITH st AS (
+      SELECT user_id, event_type AS state,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
+             lag(event_type) OVER w AS prev_state
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    chg AS (
+      SELECT user_id, state, ts_s, event_id FROM st
+      WHERE prev_state IS NULL OR prev_state <> state
+    )
+    SELECT user_id, state,
+           ts_s AS valid_from,
+           coalesce(lead(ts_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts_s, event_id),
+                    9223372036854775807) AS valid_to,
+           CAST(lead(ts_s) OVER (PARTITION BY user_id
+                                 ORDER BY ts_s, event_id) IS NULL
+                AS BOOLEAN) AS is_current
+    FROM chg
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: per-user state
+    (event_type) transitions become validity intervals [valid_from,
+    valid_to) with an open-ended current row — the warehouse history
+    table behind every as-of lookup (`asof_user_state` queries this
+    shape). Two windows over ONE user_id shuffle: lag to keep only
+    state CHANGES (map-side thinning before the second window — the
+    interval rows are a fraction of raw events), lead to close each
+    interval. Integer epoch seconds end to end."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    st = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_id",
+        F.lag("event_type").over(w).alias("__prev"),
+    )
+    chg = st.filter(
+        F.col("__prev").isNull() | (F.col("__prev") != F.col("state"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    nxt = F.lead("ts_s").over(w2)
+    return chg.select(
+        "user_id",
+        "state",
+        F.col("ts_s").alias("valid_from"),
+        F.coalesce(nxt, F.lit((1 << 63) - 1)).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
     )

@@ -200,6 +200,9 @@ CHECKS: dict[str, list[str]] = {
     "areal_interpolation": [r"Generate", r"partial_sum", r"HashAggregate"],
     # sliding distinct: explode fan-out + two-phase distinct count
     "rolling_active_users": [r"Generate", r"HashAggregate"],
+    # SCD2: both windows ride ONE user_id exchange (lag thins, lead
+    # closes) — a second Exchange would mean a re-shuffle regression
+    "scd2_history": [r"Window"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
@@ -266,6 +269,7 @@ ANTI_CHECKS: dict[str, list[str]] = {
     "colocation_pairs": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     "label_propagation": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     "areal_interpolation": [r"Join"],  # pure fan-out + rollup, no join
+    "scd2_history": [r"\(\d+\) Exchange.*\(\d+\) Exchange"],
 }
 
 
