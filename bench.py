@@ -156,6 +156,7 @@ HEADLINE = [
     "areal_interpolation",
     "rolling_active_users",
     "scd2_history",
+    "media_dedup",
 ]
 
 

@@ -57,6 +57,7 @@ _DRIVER_WINDOW_FIRST = [
     "areal_interpolation",  # new: area-weighted raster allocation
     "rolling_active_users",  # new: sliding-window distinct
     "scd2_history",         # new: SCD type-2 validity intervals
+    "media_dedup",          # new: content-addressable media dedup
     "bfs_hops",             # new: bounded multi-source BFS
     "od_flows",             # new: OD cell-transition matrix
     "colocation_pairs",     # new: contact-graph co-location join
@@ -5198,4 +5199,57 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_s").alias("valid_from"),
         F.coalesce(nxt, F.lit((1 << 63) - 1)).alias("valid_to"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "media_dedup",
+    oracle=f"""
+    WITH {_PER_CHUNK_ONLY_SQL},
+    refs AS (
+      SELECT doc_id,
+             'media://' || CAST(doc_id AS VARCHAR) || '/'
+             || CAST(i AS VARCHAR) AS media_ref
+      FROM per_chunk WHERE is_media = 1
+    ),
+    content AS (
+      SELECT media_ref, md5(md5(CAST(doc_id % 50 AS VARCHAR))) AS digest
+      FROM refs
+    )
+    SELECT digest, count(*) AS n_refs,
+           min(media_ref) AS canonical_ref
+    FROM content GROUP BY digest HAVING count(*) >= 2
+    """,
+)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable media dedup: the same image embedded in
+    many documents (payload keyed by doc_id % 50 — the deterministic
+    stand-in for re-used media) collapses to one canonical ref per
+    content DIGEST. Binary payloads never shuffle: the digest is
+    computed map-side over the binary column and only (digest, ref)
+    pairs reach the aggregation — at 100 TB the payload bytes stay in
+    their scan, which is the entire point of content addressing. The
+    exact-dedup ladder step for the media axis beside the text
+    `dedup_keep_first`."""
+    docs = interleave_documents(_t(spark, sf_dir, "documents"))
+    refs = docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).filter(F.col("s.kind") == "media").select(
+        "doc_id", F.col("s.media_ref").alias("media_ref")
+    )
+    # payload: the shared-content stub (same bytes whenever
+    # doc_id % 50 matches) — a binary column, as real media would be
+    payload = F.encode(
+        F.md5(F.pmod(F.col("doc_id"), F.lit(50)).cast("string")), "utf-8"
+    )
+    content = refs.select(
+        "media_ref", F.md5(payload).alias("digest")
+    )
+    return (
+        content.groupBy("digest")
+        .agg(
+            F.count("*").alias("n_refs"),
+            F.min("media_ref").alias("canonical_ref"),
+        )
+        .filter(F.col("n_refs") >= 2)
     )

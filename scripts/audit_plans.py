@@ -203,6 +203,9 @@ CHECKS: dict[str, list[str]] = {
     # SCD2: both windows ride ONE user_id exchange (lag thins, lead
     # closes) — a second Exchange would mean a re-shuffle regression
     "scd2_history": [r"Window"],
+    # media dedup: digest computed map-side; only (digest, ref) pairs
+    # shuffle (partial agg before the exchange)
+    "media_dedup": [r"HashAggregate|ObjectHashAggregate", r"partial"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
