@@ -205,7 +205,8 @@ CHECKS: dict[str, list[str]] = {
     "scd2_history": [r"Window"],
     # media dedup: digest computed map-side; only (digest, ref) pairs
     # shuffle (partial agg before the exchange)
-    "media_dedup": [r"HashAggregate|ObjectHashAggregate", r"partial"],
+    "media_dedup": [r"SortAggregate|HashAggregate|ObjectHashAggregate",
+                    r"partial"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
