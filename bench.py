@@ -157,6 +157,7 @@ HEADLINE = [
     "rolling_active_users",
     "scd2_history",
     "media_dedup",
+    "pip_anti_join",
 ]
 
 

@@ -58,6 +58,7 @@ _DRIVER_WINDOW_FIRST = [
     "rolling_active_users",  # new: sliding-window distinct
     "scd2_history",         # new: SCD type-2 validity intervals
     "media_dedup",          # new: content-addressable media dedup
+    "pip_anti_join",        # new: spatial anti-join
     "bfs_hops",             # new: bounded multi-source BFS
     "od_flows",             # new: OD cell-transition matrix
     "colocation_pairs",     # new: contact-graph co-location join
@@ -5253,3 +5254,36 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_refs") >= 2)
     )
+
+
+@register(
+    "pip_anti_join",
+    oracle=f"""
+    WITH pts AS (SELECT doc_id, {_LAT_SQL} AS lat_e4, {_LON_SQL} AS lon_e4
+                 FROM documents),
+         boxes AS ({_BOX_SQL})
+    SELECT p.doc_id, p.lat_e4, p.lon_e4
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM boxes b
+      WHERE p.lat_e4 >= b.lat0 AND p.lat_e4 < b.lat1
+        AND p.lon_e4 >= b.lon0 AND p.lon_e4 < b.lon1)
+    """,
+)
+def q_pip_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial ANTI-join: documents outside EVERY polygon — the
+    coverage-gap / out-of-region audit (the complement of
+    `pip_join_boxes`). Engine shape: run the cell-bucketed PIP join,
+    project the matched ids (distinct is unnecessary — left_anti
+    ignores probe-side duplicates), and LEFT ANTI the point table
+    against them on doc_id. The anti probe is the narrow matched-id
+    column, broadcastable whenever the covered set is dimension-like;
+    the point table is never shuffled twice. Oracle = textbook
+    NOT EXISTS."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    pts = docs.select("doc_id", lat, lon)
+    matched = spatial.pip_join(pts, _box_polygons(spark), res=6).select(
+        "doc_id"
+    )
+    return pts.join(matched, "doc_id", "left_anti")

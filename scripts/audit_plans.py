@@ -207,6 +207,9 @@ CHECKS: dict[str, list[str]] = {
     # shuffle (partial agg before the exchange)
     "media_dedup": [r"SortAggregate|HashAggregate|ObjectHashAggregate",
                     r"partial"],
+    # spatial anti-join: matched ids probe as LEFT ANTI (never a
+    # row-expanding join followed by a filter)
+    "pip_anti_join": [r"LeftAnti"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
