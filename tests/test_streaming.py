@@ -487,3 +487,58 @@ def test_stream_od_transitions_matches_batch(spark, sf_dir, tmp_path):
     got_n, batch_n = norm(got), norm(batch)
     assert got.count() == batch.count() and got.count() > 0
     assert got_n.exceptAll(batch_n).isEmpty() and batch_n.exceptAll(got_n).isEmpty()
+
+
+def test_builtin_session_window_agrees_with_gaps_and_islands(spark, sf_dir):
+    """Cross-validation of two INDEPENDENT sessionization
+    implementations: Spark's built-in session_window (merge while the
+    next event starts strictly before window end) vs the engine's
+    lag+cumsum gaps-and-islands (new session when the truncated-second
+    gap exceeds 1800). On second-truncated timestamps a 1801-second
+    session_window gap is the exact same rule (diff <= 1800 merges),
+    so per-session (user, start, end, n) must match row for row."""
+    from pyspark.sql import Window
+
+    ev = (
+        spark.read.parquet(_events_path(sf_dir))
+        .select(
+            "user_id", "event_id",
+            F.unix_timestamp("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    builtin = (
+        ev.groupBy("user_id", F.session_window("ts", "1801 seconds"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("start_s"),
+            "n_events",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts")
+               - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    ours = (
+        gaps.select(
+            "user_id", "ts",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("sess_idx"),
+        )
+        .groupBy("user_id", "sess_idx")
+        .agg(
+            F.min(F.unix_timestamp("ts")).alias("start_s"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "start_s", "n_events")
+    )
+    assert builtin.count() == ours.count() and builtin.count() > 0
+    assert builtin.exceptAll(ours).isEmpty()
+    assert ours.exceptAll(builtin).isEmpty()
