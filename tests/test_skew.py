@@ -144,3 +144,60 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injection_fires(spark):
+    """Catalyst's runtime bloom-filter injection (the JVM-native
+    counterpart of operators/dedup's explicit literal-array Bloom in
+    bloom_prune_join): a selective dimension filter must inject a
+    bloom_filter_agg on the build side and a might_contain probe into
+    the fact scan once the size thresholds allow it. At 100 TB the
+    default thresholds (10 GB application side) govern; the test
+    lowers them to fixture scale to pin the MECHANISM, and checks the
+    filtered result equals the unfiltered-join baseline (the bloom is
+    a pure pre-filter, never a semantic change)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count("*").alias("n"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan
+        got = {(r.o_orderpriority, r.n) for r in j.collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    base = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{sf}/orders.parquet").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    assert got == {(r.o_orderpriority, r.n) for r in base.collect()}
