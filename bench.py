@@ -158,6 +158,7 @@ HEADLINE = [
     "scd2_history",
     "media_dedup",
     "pip_anti_join",
+    "pca_component",
 ]
 
 

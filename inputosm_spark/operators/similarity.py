@@ -742,3 +742,92 @@ def kmeans_centroids(
         partials.unpersist()
     ivs.unpersist()
     return cent.select("cid", F.col("cvec").alias("embedding"))
+
+
+# gram-entry magnitude cap: the power-iteration matvec multiplies a
+# gram entry by a <= FP_SCALE vector weight and sums over d <= 64
+# terms, so |gs| must stay below 2^63 / (64 * FP_SCALE) ~ 1.4e11 for
+# the matvec to be exact int64 (gs ~ n_vectors * 1000 at unit-norm
+# data: the guard trips around 1.4e8 vectors — past that, shard the
+# corpus and ADD the per-shard grams, which is exact)
+_PCA_GS_CAP = (1 << 62) // (64 * FP_SCALE)
+
+
+def pca_power_component(
+    emb: DataFrame, vec_col: str = "embedding", d: int = 64, n_iter: int = 2
+) -> DataFrame:
+    """Leading principal direction of the (uncentered) embedding
+    corpus via EXACT fixed-point power iteration — the embedding-
+    drift / dominant-axis audit, and the engine's demonstration that
+    even an iterative linear-algebra op can be oracle-replayed
+    bit-for-bit.
+
+    Scale shape: the corpus is touched ONCE to build the d x d gram
+    matrix — a nested posexplode fan-out (d^2 narrow rows per vector,
+    NO self-join) into one map-side-combined aggregation; the gram
+    (d^2 <= 4096 rows) is cached and every power-iteration matvec is
+    a d-row join against it. The corpus never shuffles and never
+    crosses Arrow.
+
+    Exactness contract: inputs fix to FP_SCALE ints (the similarity
+    convention); the gram is truncation-divided by 1e9 (`div`, which
+    both Spark and DuckDB's integer `//` implement as round-toward-
+    zero); each matvec renormalizes by max|w| div FP_SCALE (same
+    truncation); the sign is canonicalized toward the larger absolute
+    extreme. Every step is int64 with an in-plan magnitude guard, so
+    the unrolled-CTE oracle replays the full Lloyd-style loop — the
+    k-means contract applied to PCA.
+
+    Caveat (honest): with a FLAT spectrum (top eigenvalues within a
+    few %, e.g. near-isotropic embeddings) two iterations cannot align
+    with the true eigenvector — no 2-step method can. The result is
+    still fully deterministic and oracle-replayable (that is what the
+    gate checks); pass a larger n_iter when the data is known to be
+    dominated and directional accuracy matters.
+    """
+    xis = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(FP_SCALE)).cast("long"),
+    )
+    rows = emb.select(xis.alias("__x"))
+    step1 = rows.select(F.posexplode("__x").alias("i", "xi"), F.col("__x"))
+    prods = step1.select(
+        "i",
+        F.posexplode(
+            F.transform("__x", lambda v: v * F.col("xi"))
+        ).alias("j", "prod"),
+    )
+    guard = F.assert_true(
+        F.abs(F.col("gs")) <= F.lit(_PCA_GS_CAP),
+        F.lit("pca_power_component: gram entry exceeds the exact-int64 "
+              "matvec bound — shard the corpus and add per-shard grams"),
+    )
+    g = (
+        prods.groupBy("i", "j")
+        .agg(F.sum("prod").alias("gsum"))
+        .select("i", "j", F.expr("gsum div 1000000000").alias("gs"))
+        .select("i", "j", (F.col("gs") + F.coalesce(guard.cast("long"),
+                                                    F.lit(0))).alias("gs"))
+        .cache()
+    )
+    # v0 = FP_SCALE * ones: the first matvec is just sum_j gs * 1e6
+    w = g.groupBy("i").agg(
+        F.sum(F.col("gs") * F.lit(FP_SCALE)).alias("w")
+    )
+    for _ in range(n_iter - 1):
+        m = w.agg(F.expr(f"greatest(1, max(abs(w)) div {FP_SCALE})").alias("s"))
+        v = w.crossJoin(m).select(
+            F.col("i").alias("j"), F.expr("w div s").alias("v")
+        )
+        w = g.join(v, "j").groupBy("i").agg(
+            F.sum(F.col("gs") * F.col("v")).alias("w")
+        )
+    m = w.agg(F.expr(f"greatest(1, max(abs(w)) div {FP_SCALE})").alias("s"))
+    v = w.crossJoin(m).select("i", F.expr("w div s").alias("v"))
+    sgn = v.agg(
+        F.when(-F.min("v") > F.max("v"), -1).otherwise(1).alias("sg")
+    )
+    return v.crossJoin(sgn).select(
+        F.col("i").alias("dim_idx"),
+        (F.col("v") * F.col("sg")).cast("long").alias("weight"),
+    )

@@ -59,6 +59,7 @@ _DRIVER_WINDOW_FIRST = [
     "scd2_history",         # new: SCD type-2 validity intervals
     "media_dedup",          # new: content-addressable media dedup
     "pip_anti_join",        # new: spatial anti-join
+    "pca_component",        # new: exact fixed-point power iteration
     "bfs_hops",             # new: bounded multi-source BFS
     "od_flows",             # new: OD cell-transition matrix
     "colocation_pairs",     # new: contact-graph co-location join
@@ -5287,3 +5288,43 @@ def q_pip_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
     return pts.join(matched, "doc_id", "left_anti")
+
+
+@register(
+    "pca_component",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS xi
+      FROM embeddings, unnest(range(0, 64)) AS t(i)
+    ),
+    g AS (
+      SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) // 1000000000 AS gs
+      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2
+    ),
+    w1 AS (SELECT i, sum(gs * 1000000) AS w FROM g GROUP BY i),
+    m1 AS (SELECT greatest(1, max(abs(w)) // 1000000) AS s FROM w1),
+    v1 AS (SELECT i, w // s AS v FROM w1, m1),
+    w2 AS (SELECT g.i AS i, sum(g.gs * v1.v) AS w
+           FROM g JOIN v1 ON v1.i = g.j GROUP BY 1),
+    m2 AS (SELECT greatest(1, max(abs(w)) // 1000000) AS s FROM w2),
+    v2 AS (SELECT i, w // s AS v FROM w2, m2),
+    sgn AS (SELECT CASE WHEN -min(v) > max(v) THEN -1 ELSE 1 END AS sg
+            FROM v2)
+    SELECT CAST(i AS INT) AS dim_idx, CAST(v * sg AS BIGINT) AS weight
+    FROM v2, sgn
+    """,
+)
+def q_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal direction of the embedding corpus (uncentered,
+    2 exact fixed-point power iterations): dominant-axis / drift audit.
+    The corpus is scanned once into a cached 64x64 gram (nested
+    posexplode, never a self-join); the oracle unrolls the gram build
+    (as a SQL self-join — an INDEPENDENT formulation of the same
+    sums) and both matvec+renormalize rounds with identical
+    truncation-division arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pca_power_component(emb, d=64, n_iter=2).select(
+        F.col("dim_idx").cast("int").alias("dim_idx"), "weight"
+    )

@@ -210,6 +210,9 @@ CHECKS: dict[str, list[str]] = {
     # spatial anti-join: matched ids probe as LEFT ANTI (never a
     # row-expanding join followed by a filter)
     "pip_anti_join": [r"LeftAnti"],
+    # PCA: cached gram feeds every matvec (InMemoryTableScan); the
+    # corpus itself is scanned once into the map-side-combined gram
+    "pca_component": [r"InMemoryTableScan", r"HashAggregate"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
