@@ -159,6 +159,8 @@ HEADLINE = [
     "media_dedup",
     "pip_anti_join",
     "pca_component",
+    "daily_type_pivot",
+    "value_deciles",
 ]
 
 

@@ -60,6 +60,8 @@ _DRIVER_WINDOW_FIRST = [
     "media_dedup",          # new: content-addressable media dedup
     "pip_anti_join",        # new: spatial anti-join
     "pca_component",        # new: exact fixed-point power iteration
+    "daily_type_pivot",     # new: PIVOT surface
+    "value_deciles",        # new: ntile equi-depth histogram
     "bfs_hops",             # new: bounded multi-source BFS
     "od_flows",             # new: OD cell-transition matrix
     "colocation_pairs",     # new: contact-graph co-location join
@@ -5327,4 +5329,72 @@ def q_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.pca_power_component(emb, d=64, n_iter=2).select(
         F.col("dim_idx").cast("int").alias("dim_idx"), "weight"
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "daily_type_pivot",
+    oracle="""
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+           CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-day event counts widened to one column per event
+    type. The pivot VALUES are passed explicitly (the scale rule:
+    an unlisted-values pivot runs a whole extra distinct job over the
+    corpus and breaks schema stability between runs); Spark plans it
+    as a (day, type) pre-aggregation plus a pivotfirst rollup on day
+    — two shuffles, but BOTH carry only aggregated rows (days x
+    types), never the event stream. The oracle is the equivalent
+    single conditional aggregation."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+        "event_type",
+    )
+    out = ev.groupBy("day").pivot("event_type", _EVENT_TYPES).count()
+    # pivot leaves NULL for empty cells; the count semantics want 0
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@register(
+    "value_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, round(value, 2) AS v,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY round(value, 2), event_id) AS dec
+      FROM events
+    )
+    SELECT event_type, CAST(dec AS INT) AS decile,
+           min(v) AS lo, max(v) AS hi, count(*) AS n
+    FROM t GROUP BY 1, 2
+    """,
+)
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram via ntile(10) per event type: decile
+    boundaries + bucket sizes. ntile ties are resolved by the
+    (value, event_id) total order so both engines split identically;
+    one window + one aggregation on the same grouping key."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 2).alias("v"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+             F.count("*").alias("n"))
     )

@@ -213,6 +213,10 @@ CHECKS: dict[str, list[str]] = {
     # PCA: cached gram feeds every matvec (InMemoryTableScan); the
     # corpus itself is scanned once into the map-side-combined gram
     "pca_component": [r"InMemoryTableScan", r"HashAggregate"],
+    # pivot plans as pre-agg on (day, type) + pivotfirst on day — both
+    # map-side-combined, both shuffles carry only AGGREGATED rows
+    "daily_type_pivot": [r"pivotfirst", r"partial_count"],
+    "value_deciles": [r"Window", r"HashAggregate"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
