@@ -161,6 +161,8 @@ HEADLINE = [
     "pca_component",
     "daily_type_pivot",
     "value_deciles",
+    "grouping_sets_cells",
+    "melt_doc_metrics",
 ]
 
 

@@ -62,6 +62,8 @@ _DRIVER_WINDOW_FIRST = [
     "pca_component",        # new: exact fixed-point power iteration
     "daily_type_pivot",     # new: PIVOT surface
     "value_deciles",        # new: ntile equi-depth histogram
+    "grouping_sets_cells",  # new: explicit GROUPING SETS + grouping_id
+    "melt_doc_metrics",     # new: unpivot/melt
     "bfs_hops",             # new: bounded multi-source BFS
     "od_flows",             # new: OD cell-transition matrix
     "colocation_pairs",     # new: contact-graph co-location join
@@ -5397,4 +5399,71 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "decile")
         .agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
              F.count("*").alias("n"))
+    )
+
+
+@register(
+    "grouping_sets_cells",
+    oracle=f"""
+    SELECT {_CELL3_SQL} AS cell3,
+           CASE WHEN n_chars < 500 THEN 'short'
+                WHEN n_chars < 2000 THEN 'mid' ELSE 'long' END AS len_band,
+           CAST(GROUPING({_CELL3_SQL}) * 2
+                + GROUPING(CASE WHEN n_chars < 500 THEN 'short'
+                                WHEN n_chars < 2000 THEN 'mid'
+                                ELSE 'long' END) AS BIGINT) AS gid,
+           count(*) AS cnt
+    FROM documents
+    GROUP BY GROUPING SETS ((1), (2))
+    """,
+)
+def q_grouping_sets_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — only the two marginal totals (per
+    cell, per length band), NOT the cross product: the custom-lattice
+    surface beyond rollup/cube, with grouping_id disambiguating which
+    set each row came from (cell3=NULL data rows vs the cell3 subtotal
+    axis). One Expand over the scan into a map-side-combined
+    aggregation, same single-shuffle shape as cube."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = cells.point_exprs("doc_id")
+    band = (
+        F.when(F.col("n_chars") < 500, "short")
+        .when(F.col("n_chars") < 2000, "mid")
+        .otherwise("long")
+    )
+    keyed = docs.select(
+        cells.cell_id_expr(lat, lon, 3).alias("cell3"),
+        band.alias("len_band"),
+    )
+    return keyed.groupingSets(
+        [["cell3"], ["len_band"]], "cell3", "len_band"
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("cnt"),
+    ).select("cell3", "len_band", "gid", "cnt")
+
+
+@register(
+    "melt_doc_metrics",
+    oracle="""
+    SELECT doc_id, 'n_chars' AS metric, CAST(n_chars AS BIGINT) AS value
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'n_words' AS metric,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS value
+    FROM documents
+    """,
+)
+def q_melt_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): per-doc wide metrics to (doc_id, metric, value)
+    long form — the feature-store export shape. Spark's unpivot plans
+    one Expand over a SINGLE scan; the oracle's UNION ALL is the
+    independent two-scan formulation of the same rows."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+    )
+    return docs.unpivot(
+        ["doc_id"], ["n_chars", "n_words"], "metric", "value"
     )

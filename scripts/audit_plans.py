@@ -217,6 +217,10 @@ CHECKS: dict[str, list[str]] = {
     # map-side-combined, both shuffles carry only AGGREGATED rows
     "daily_type_pivot": [r"pivotfirst", r"partial_count"],
     "value_deciles": [r"Window", r"HashAggregate"],
+    # grouping sets: ONE Expand into a map-side-combined agg (cube shape)
+    "grouping_sets_cells": [r"Expand", r"partial_count"],
+    # melt: one Expand over a SINGLE scan (never a union of scans)
+    "melt_doc_metrics": [r"Expand"],
 }
 
 # patterns that must NOT appear (regression = reintroduced anti-pattern)
@@ -283,6 +287,7 @@ ANTI_CHECKS: dict[str, list[str]] = {
     "colocation_pairs": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     "label_propagation": [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     "areal_interpolation": [r"Join"],  # pure fan-out + rollup, no join
+    "melt_doc_metrics": [r"Union"],  # Expand form, not a two-scan union
     "scd2_history": [r"\(\d+\) Exchange.*\(\d+\) Exchange"],
 }
 
