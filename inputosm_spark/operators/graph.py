@@ -46,11 +46,17 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, pre_canonical: bool = False) -> DataFrame:
     """Small-star: orient every edge high->low, then connect each node's
     smaller-or-equal neighbors (and the node itself) to the minimum of
-    the neighborhood. Output edges (child, parent) with child > parent."""
-    d = (
+    the neighborhood. Output edges (child, parent) with child > parent.
+
+    `pre_canonical=True` skips the orient+distinct pass when the input
+    is already (u > v, u != v, distinct) — exactly what `_large_star`
+    emits, so the alternation inside `connected_components` saves one
+    full shuffle per round (the old form re-deduped large-star's
+    already-distinct output)."""
+    d = edges if pre_canonical else (
         edges.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
@@ -83,21 +89,28 @@ def connected_components(
     does). Raises RuntimeError if max_iter rounds don't reach the star
     fixpoint (log-scale rounds make that a hard bug, never load).
     """
-    nodes = (
-        edges.select(F.col(src).alias("u"))
-        .unionAll(edges.select(F.col(dst).alias("u")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # ONE upstream materialization (the old form ran the caller's edge
+    # pipeline twice — once for the node set, once for the edge set):
+    # checkpoint the raw narrow (u, v) rows, then derive the canonical
+    # edge set eagerly and the node set lazily from the materialized
+    # RDD. The node set is consumed exactly once (the roots anti-join
+    # at the end), so it needs no checkpoint of its own.
+    raw = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    nodes = raw.select("u").unionAll(raw.select(F.col("v").alias("u"))).distinct()
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # large-star output is already (u > v, distinct), so small-star
+        # skips its canonicalization shuffle (pre_canonical)
+        new_e = _small_star(
+            _large_star(e), pre_canonical=True
+        ).localCheckpoint(eager=True)
         same = (
             new_e.count() == e.count()
             and new_e.exceptAll(e).limit(1).count() == 0
@@ -300,23 +313,30 @@ def triangle_counts(edges: DataFrame, degree_orient: bool = True) -> DataFrame:
     )
     if degree_orient:
         # ONE explode pass for both endpoints (explode-vs-unionAll
-        # rule); undirected degree since input edges are canonical
+        # rule); undirected degree since input edges are canonical.
+        # Materialized once: both orientation probes (du, dv) read the
+        # same RDD instead of re-aggregating, and its row count is the
+        # EXACT node count for the broadcast decision — the old bound
+        # (2 * n_edges) overestimated nodes by orders of magnitude on
+        # dense graphs and pushed the sf0.1 co-purchase orientation
+        # (20k nodes, 1.2M edges) past the byte cap into a sort-merge
+        # shuffle of the edge list (and, post-AQE-coalescing, a
+        # 1-partition oriented RDD that serialized everything
+        # downstream: 5.3 s vs 1.5 s for the intersect stage).
         deg = (
             edges.select(F.explode(F.array("u", "v")).alias("n"))
             .groupBy("n")
             .agg(F.count("*").alias("d"))
+            .localCheckpoint(eager=True)
         )
+        n_nodes = deg.count()
         du = deg.select(F.col("n").alias("u"), F.col("d").alias("__du"))
         dv = deg.select(F.col("n").alias("v"), F.col("d").alias("__dv"))
-        # the (node, degree) table has <= 2*n_edges rows; when that
-        # fits the byte cap, broadcast BOTH orientation joins so the
-        # oriented list is produced map-side over the checkpointed
-        # edges (without the hint, a post-checkpoint deg has no size
-        # estimate and both joins sort-merge-shuffle the edge list —
-        # the 5.2s -> 7.0s driver-bench regression when degree
-        # orientation first shipped). Past the cap the joins shuffle:
-        # the correct 100 TB path.
-        if fits(2 * n_edges):
+        # broadcast BOTH orientation joins when the (node, degree)
+        # table fits the byte cap, so the oriented list is produced
+        # map-side over the checkpointed edges. Past the cap the joins
+        # shuffle: the correct 100 TB path.
+        if fits(n_nodes):
             du, dv = F.broadcast(du), F.broadcast(dv)
         lower_first = (F.col("__du") < F.col("__dv")) | (
             (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
@@ -332,28 +352,53 @@ def triangle_counts(edges: DataFrame, degree_orient: bool = True) -> DataFrame:
             # wedge/probe branches below
             .localCheckpoint(eager=True)
         )
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
-    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
-    # closing probe: the WEDGE stream is the big side (sum of squared
-    # out-degrees); when the edge list itself is broadcastable, probe
-    # it hash-side instead of sort-merging the wedges. The decision is
-    # sized in BYTES (estimated serialized hash-relation footprint)
-    # under a 64 MB cap, and disabled entirely when the session has
-    # autoBroadcastJoinThreshold=-1 (user opted out of broadcasts).
-    # The checkpoint above makes the count cheap; past the threshold
-    # fall back to the shuffled equi-join (the 100 TB path — edges
-    # partition by a, AQE handles skewed closing keys).
+    # Two physical strategies, chosen by the SAME byte-capped broadcast
+    # decision as before (disabled when autoBroadcastJoinThreshold=-1):
+    #
+    # * broadcastable edge list -> ADJACENCY-INTERSECT: build each
+    #   node's out-neighborhood array once (total payload = n_edges
+    #   longs, the same bytes the old closing-probe broadcast shipped),
+    #   broadcast it onto both endpoints of every edge, and emit the
+    #   closing corners as array_intersect(N+(u), N+(v)) — the triangle
+    #   (a,b,c), a<b<c in π, is found exactly once at its (a,b) edge.
+    #   This never materializes the wedge stream: the old plan shuffled
+    #   e1 ⋈ e2 into sum-of-in*out-degree wedge rows before the probe
+    #   (49.2M rows / 5.5 s at the sf0.1 co-purchase graph vs 1.5 s for
+    #   the intersect form, identical output; guide §2.4 "remove
+    #   shuffles outright"). Intersect cost is O(|N+(u)|+|N+(v)|) per
+    #   edge — the same asymptotic work as the wedge join, minus the
+    #   exchange.
+    # * past the cap -> the shuffled wedge join (the 100 TB path —
+    #   wedges partition by the closing key, AQE handles skew).
     if fits(n_edges):
-        e3 = F.broadcast(e3)
-    tri = (
-        e1.join(e2, F.col("b") == F.col("b2"))
-        .join(
-            e3,
-            (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")),
+        adj = edges.groupBy("u").agg(F.collect_list("v").alias("__nb"))
+        # same aliased plan on both sides: the broadcast exchange is
+        # built once and reused (ReusedExchange) for the v-side probe
+        au, av = adj.alias("au"), adj.alias("av")
+        tri = (
+            edges.alias("e")
+            .join(F.broadcast(au), F.col("au.u") == F.col("e.u"))
+            .join(F.broadcast(av), F.col("av.u") == F.col("e.v"))
+            .select(
+                F.col("e.u").alias("a"),
+                F.col("e.v").alias("b"),
+                F.explode(
+                    F.array_intersect(F.col("au.__nb"), F.col("av.__nb"))
+                ).alias("c"),
+            )
         )
-        .select("a", "b", "c")
-    )
+    else:
+        e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+        e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+        tri = (
+            e1.join(e2, F.col("b") == F.col("b2"))
+            .join(
+                e3,
+                (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")),
+            )
+            .select("a", "b", "c")
+        )
     # ONE pass over the triangle stream: exploding the corner array
     # fans each triangle to its 3 nodes map-side — a unionAll of three
     # selects would re-run BOTH joins per branch (measured 22.4s vs
@@ -409,7 +454,12 @@ def bfs_hops(
         )
         if nxt.count() == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        # visited is a union of already-checkpointed per-hop frontiers:
+        # its lineage is one Union over materialized RDDs, so
+        # re-checkpointing it every hop (the old form) only re-copied
+        # the whole visited set per round — O(hops^2) materialized
+        # bytes for zero recompute saved
+        visited = visited.unionAll(nxt)
         frontier = nxt
     return visited
 
@@ -435,8 +485,6 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     round count is the budget knob, and synchronous LPA's known
     oscillation modes are bounded by it.
     """
-    from pyspark.sql import Window
-
     sym = (
         edges.select(
             F.explode(
@@ -456,6 +504,8 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Window
+
     w = Window.partitionBy("node").orderBy(
         F.desc("c"), F.asc("label")
     )

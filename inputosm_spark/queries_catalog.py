@@ -4266,6 +4266,32 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(li: DataFrame, directed: bool = False) -> DataFrame:
+    """Distinct co-purchase edges (parts sharing an order) from a
+    (l_orderkey, l_partkey) projection — canonical ascending (u, v)
+    pairs, or both directions with `directed=True`.
+
+    ONE lineitem scan + one groupBy(order) shuffle + a map-side pair
+    explode, instead of the old self-join (two scans, both shuffled on
+    the order key) — same distinct edge set, measured 2.0 s -> 1.25 s
+    at sf0.1 (guide §2.3: shuffle fewer bytes / §2.4 share the
+    exchange). Orders are bounded baskets (TPC-H: <= 7 lines), so the
+    per-order pair fan-out is bounded and skew-free at any corpus
+    size."""
+    parts = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("__ps")
+    )
+    first = parts.select(F.explode("__ps").alias("u"), F.col("__ps"))
+    if directed:
+        second = F.filter("__ps", lambda x: x != F.col("u"))
+    else:
+        second = F.filter("__ps", lambda x: x > F.col("u"))
+    return (
+        first.select("u", F.explode(second).alias("v"))
+        .distinct()
+    )
+
+
 @register(
     "triangle_count",
     oracle="""
@@ -4299,14 +4325,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inputosm_spark.operators import graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    edges = _copurchase_edges(li)
     return (
         graph.triangle_counts(edges)
         .orderBy(F.desc("n_tri"), "node")
@@ -4781,13 +4800,8 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inputosm_spark.operators import graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
+    edges = _copurchase_edges(li, directed=True).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
     )
     sources = (
         _t(spark, sf_dir, "part")
