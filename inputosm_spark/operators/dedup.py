@@ -672,14 +672,21 @@ def prefix_filter_pairs(
 
     Returns (doc_a, doc_b, inter, uni, jac_e6), doc_a < doc_b.
     """
-    tok = word_shingles(documents, text_col=text_col, n=n)
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    # the shingle stream feeds FOUR consumers (freq, ranked, and both
+    # verify probes) — Spark has no cross-branch subplan sharing, so
+    # cache it (the jaccard_verify/lsh_candidate_pairs rule): one
+    # normalize+explode pass instead of four
+    tok = word_shingles(documents, text_col=text_col, n=n).cache()
     freq = tok.groupBy("shingle").agg(F.count("*").alias("__f"))
-    # rank tokens inside each doc by the global (freq, token) order
+    # rank tokens inside each doc by the global (freq, token) order;
+    # |X| rides the SAME doc_id exchange as the ranking window (an
+    # unordered count window) instead of a separate sizes aggregation
+    # + join (guide §2.4: two operations keyed the same way share one
+    # exchange)
     w = Window.partitionBy("doc_id").orderBy("__f", "shingle")
     ranked = (
         tok.join(freq, "shingle")
-        .join(sizes, "doc_id")
+        .withColumn("n_tok", F.count("*").over(Window.partitionBy("doc_id")))
         .withColumn("__r", F.row_number().over(w))
     )
     # prefix length |X| - ceil(t*|X|) + 1, all integer

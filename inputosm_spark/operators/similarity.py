@@ -360,8 +360,33 @@ def ann_lsh_topk(
     planes -> bigger buckets).
     """
     sig = _make_sig_udf(n_planes)
-    q = _prep(queries, "qid").withColumn("lsh_sig", sig("iv"))
     c = _prep(corpus, "nid").withColumn("lsh_sig", sig("iv"))
+    if queries is corpus:
+        # self-search: prep + signature kernel run ONCE over the cached
+        # corpus; the query side is an all-columns-aliased projection
+        # (fresh attribute ids — the self-cogroup rule, CLAUDE.md)
+        # instead of a second fp_vec/dot_fp/sig Arrow pipeline.
+        # Size-1 buckets are dropped BEFORE the cogroup: their only
+        # pair is the self-match the final ranking filters anyway
+        # (qid != nid), and at wide signatures they dominate the
+        # bucket count — each costs a per-group pandas kernel call for
+        # zero output rows. The count window rides the same lsh_sig
+        # exchange the cogroup needs.
+        wb = Window.partitionBy("lsh_sig")
+        c = (
+            c.withColumn("__bn", F.count("*").over(wb))
+            .filter(F.col("__bn") >= 2)
+            .drop("__bn")
+            .cache()
+        )
+        q = c.select(
+            F.col("nid").alias("qid"),
+            F.col("iv").alias("iv"),
+            F.col("ns").alias("ns"),
+            F.col("lsh_sig").alias("lsh_sig"),
+        )
+    else:
+        q = _prep(queries, "qid").withColumn("lsh_sig", sig("iv"))
     scored = _bucket_pair_dots(q, c, "lsh_sig", topk=k,
                                round_scale=round_scale)
     return _rank_topk(scored, k, round_scale)
@@ -381,6 +406,15 @@ def near_dup_pairs(
     """
     sig = _make_sig_udf(n_planes)
     vecs = _prep(corpus, "qid").withColumn("lsh_sig", sig("iv"))
+    # size-1 buckets emit no a<b pair — drop them before the grouped
+    # kernel (one count window on the same lsh_sig exchange) so the
+    # per-group pandas overhead is paid only where pairs can exist
+    wb = Window.partitionBy("lsh_sig")
+    vecs = (
+        vecs.withColumn("__bn", F.count("*").over(wb))
+        .filter(F.col("__bn") >= 2)
+        .drop("__bn")
+    )
 
     # self-pairing is ONE grouped kernel, not a self-cogroup: a cogroup
     # of a frame with itself shares attribute ids across sides, which
@@ -404,7 +438,9 @@ def near_dup_pairs(
 def _centroid_dots(vectors: DataFrame, centroids: DataFrame,
                    id_out: str = "vec_id",
                    topk: int | None = None,
-                   round_scale: int = 4) -> DataFrame:
+                   round_scale: int = 4,
+                   prepped: DataFrame | None = None,
+                   crows: list | None = None) -> DataFrame:
     """(id, cid, dot, qns, cns) for every vector x centroid — the
     coarse quantizer's score matrix. Centroids are by definition tiny,
     so they are collected once into the kernel closure (broadcast) and
@@ -415,8 +451,14 @@ def _centroid_dots(vectors: DataFrame, centroids: DataFrame,
     _gemm_pairs; every batch sees ALL centroids, so per-batch selection
     is globally exact) — O(n_vectors * topk) rows instead of
     O(n_vectors * n_centroids).
+
+    `prepped` / `crows` let a caller that already holds the prepped
+    (id, iv, ns) corpus frame or the collected centroid rows skip the
+    re-prep Arrow pass / the re-collect job (ivf_topk calls this twice
+    over the same corpus+centroids — assignment and probing).
     """
-    crows = _prep(centroids, "cid").limit(65_537).collect()
+    if crows is None:
+        crows = _prep(centroids, "cid").limit(65_537).collect()
     if not crows:
         raise ValueError("empty centroid set")
     if len(crows) > 65_536:
@@ -466,7 +508,7 @@ def _centroid_dots(vectors: DataFrame, centroids: DataFrame,
                 }
             )
 
-    v = _prep(vectors, "qid")
+    v = prepped if prepped is not None else _prep(vectors, "qid")
     # single select, not chained renames (qid->nid would collide with
     # the existing nid before its own rename to cid)
     return v.mapInPandas(gen, _PAIR_SCHEMA).select(
@@ -514,11 +556,22 @@ def ivf_topk(
     if centroids is None:
         centroids = corpus.filter(F.col("vec_id") < n_centroids)
 
+    # the corpus crosses the Arrow prep boundary ONCE: the cached
+    # (nid, iv, ns) frame feeds the assignment kernel, the bucket join,
+    # and (when queries IS the corpus, the self-search case) both
+    # query-side consumers too — the old form re-prepped the corpus up
+    # to four times (guide §4: pay the Python boundary once). The
+    # centroid rows are likewise collected once for both quantizer
+    # passes.
     v = _prep(corpus, "nid").cache()
+    crows = _prep(centroids, "cid").limit(65_537).collect()
 
     # corpus buckets: nearest centroid per vector (rank-1 on rounded cos)
     cdots = _centroid_dots(corpus, centroids, "nid", topk=1,
-                           round_scale=round_scale).select(
+                           round_scale=round_scale,
+                           prepped=v.select(F.col("nid").alias("qid"),
+                                            "iv", "ns"),
+                           crows=crows).select(
         "nid", "cid", _cos_from_pair(round_scale).alias("acos")
     )
     wa = Window.partitionBy("nid").orderBy(F.desc("acos"), F.asc("cid"))
@@ -529,9 +582,22 @@ def ivf_topk(
     )
     bucketed = v.join(assign, "nid")  # (nid, iv, ns, cid)
 
+    if queries is corpus:
+        # self-search: derive the query side from the SAME cached prep,
+        # alias-ing EVERY column — each Alias mints a fresh attribute
+        # id, so the downstream cogroup never sees one attribute on
+        # both sides (the self-cogroup pruning hazard, CLAUDE.md)
+        qprep = v.select(
+            F.col("nid").alias("qid"),
+            F.col("iv").alias("iv"),
+            F.col("ns").alias("ns"),
+        )
+    else:
+        qprep = _prep(queries, "qid").cache()
     # query-side probes: top n_probe centroid buckets per query
     qdots = _centroid_dots(queries, centroids, "qid", topk=n_probe,
-                           round_scale=round_scale).select(
+                           round_scale=round_scale,
+                           prepped=qprep, crows=crows).select(
         "qid", "cid", _cos_from_pair(round_scale).alias("pcos")
     )
     wp = Window.partitionBy("qid").orderBy(F.desc("pcos"), F.asc("cid"))
@@ -540,7 +606,7 @@ def ivf_topk(
         .filter(F.col("pr") <= n_probe)
         .select("qid", "cid")
     )
-    q = _prep(queries, "qid").join(probes, "qid")  # (qid, iv, ns, cid)
+    q = qprep.join(probes, "qid")  # (qid, iv, ns, cid)
 
     scored = _bucket_pair_dots(q, bucketed, "cid", topk=k,
                                round_scale=round_scale)
