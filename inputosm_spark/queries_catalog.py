@@ -3631,23 +3631,21 @@ def q_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (< m + slack rows), so the per-doc scoring join is a broadcast —
     the corpus is never shuffled on the bigram key."""
     docs = _t(spark, sf_dir, "documents")
-    # cache scoped to plan BUILD only (r4 ADVICE: the old version
-    # leaked one corpus-sized CacheManager entry per session): the
-    # MG candidate pass AND the exact-count pass both run here while
-    # the cache is hot — the bounded (< m + slack rows) common set is
-    # collected and re-created as a LITERAL frame, so the returned
-    # plan touches the (now-uncached) shingle frame exactly once
-    sh = dedup.word_shingles(docs, n=2).cache()
-    try:
-        common_rows = (
-            textstats.heavy_hitter_tokens(
-                sh.select(F.col("shingle").alias("term")), m=1024
-            )
-            .select("term")
-            .collect()
+    # localCheckpoint, not cache+unpersist (r7): the shingle stream is
+    # materialized ONCE and that RDD feeds the MG candidate pass, the
+    # exact-count pass AND the returned scoring plan — the r4-r6 form
+    # unpersisted after the build, so the returned plan re-ran the
+    # whole normalize+explode pipeline a third time per invocation.
+    # No CacheManager entry leaks (the r4 ADVICE concern): checkpoint
+    # blocks are released by the ContextCleaner when the plan is GC'd.
+    sh = dedup.word_shingles(docs, n=2).localCheckpoint(eager=False)
+    common_rows = (
+        textstats.heavy_hitter_tokens(
+            sh.select(F.col("shingle").alias("term")), m=1024
         )
-    finally:
-        sh.unpersist()
+        .select("term")
+        .collect()
+    )
     common = spark.createDataFrame(
         [(r.term,) for r in common_rows], "shingle string"
     )
