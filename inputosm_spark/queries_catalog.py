@@ -2822,7 +2822,12 @@ def _pbf_roundtrip_frame(
         # the wire stores the parquet's naive seconds TZ-free
         F.col("o_orderdate").alias("ts"),
         F.col("o_custkey").alias("changeset"),
-    ).repartition(4)
+        # shard count scales with the session's parallelism (capped):
+        # 4 fixed shards left 7/8 of a local[32] box idle during the
+        # encode leg (measured 0.97 s -> 0.75 s at 16); decoded
+        # aggregates are shard-count invariant, so the oracle replay
+        # is unchanged
+    ).repartition(min(16, spark.sparkContext.defaultParallelism))
     out_dir = tempfile.mkdtemp(prefix="inputosm_pbf_rt_")
     try:
         shards = pbf_encode.write_pbf_shards(ent, out_dir)

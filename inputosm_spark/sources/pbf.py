@@ -888,12 +888,17 @@ def read_pbf_entities(
         ]
     if not plans:
         raise ValueError(f"no OSMData blobs in {paths}")
+    # parallelize the blob descriptors with the slice count directly —
+    # a LocalRelation + repartition(n) paid a full (if tiny) shuffle
+    # stage per read just to spread a handful of descriptor rows
+    n_parts = min(len(plans), spark.sparkContext.defaultParallelism)
     desc = spark.createDataFrame(
-        [(p["path"], p["offset"], p["datasize"]) for p in plans],
+        spark.sparkContext.parallelize(
+            [(p["path"], p["offset"], p["datasize"]) for p in plans],
+            n_parts,
+        ),
         "path string, offset long, datasize long",
     )
-    n_parts = min(len(plans), spark.sparkContext.defaultParallelism)
-    desc = desc.repartition(n_parts)
 
     def decode(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
