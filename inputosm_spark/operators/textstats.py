@@ -93,12 +93,18 @@ def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     per language; argmax wins, ties broken by language code; 'und' when
     no marker hits at all.
     """
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # staged split (r7): the four per-language filter HOFs otherwise
+    # each re-run the split interpreted (no CSE across HOF lambdas)
+    staged = documents.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__w"),
+    )
+    words = F.col("__w")
     scores = [
         F.size(F.filter(words, lambda w: w.isin(ms))).alias(f"score_{lang}")
         for lang, ms in sorted(LANG_MARKERS.items())
     ]
-    df = documents.select("doc_id", *scores)
+    df = staged.select("doc_id", *scores)
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
     pred = F.lit("und")
@@ -429,7 +435,15 @@ def repetition_score(documents: DataFrame, text_col: str = "text",
     4.3x faster (0.84s vs 3.61s at sf0.1). The oracle keeps the
     joined-string formulation — an independent equal-by-construction
     twin."""
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # stage the split ONCE: higher-order functions run interpreted and
+    # get no common-subexpression elimination, so every reference to an
+    # inline `words` re-ran the split+lower (r7; CollapseProject keeps
+    # a multiply-referenced non-trivial alias staged)
+    staged = documents.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__w"),
+    )
+    words = F.col("__w")
     m = F.size(words) - F.lit(n - 1)
     z = F.arrays_zip(*[F.slice(words, i + 1, m) for i in range(n)])
     long_doc = F.size(words) >= n
@@ -437,7 +451,7 @@ def repetition_score(documents: DataFrame, text_col: str = "text",
     n_distinct = F.when(
         long_doc, F.size(F.array_distinct(z))
     ).otherwise(F.lit(1))
-    return documents.select(
+    return staged.select(
         "doc_id",
         n_total.cast("long").alias("n_grams"),
         n_distinct.cast("long").alias("n_distinct"),
@@ -496,10 +510,19 @@ def gopher_quality_flags(documents: DataFrame,
     single-line documents (TESTDATA.md); they drop in as two more
     line-array expressions when a multiline corpus appears.
     """
-    words = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"),
-        lambda w: F.length(w) > 0,
+    # stage the split+filter ONCE (r7): HOF lambdas run interpreted
+    # with no CSE, so the six derived expressions below each re-ran
+    # the whole tokenization when it was inlined (interleaved A/B:
+    # 1.35 s -> 0.79 s at sf0.1); the plan stays map-only (two
+    # Projects, zero Exchange — the audit gate still holds)
+    staged = documents.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            lambda w: F.length(w) > 0,
+        ).alias("__w"),
     )
+    words = F.col("__w")
     n_words = F.size(words).cast("long")
     # total word chars = length of the separator-free join — a single
     # JVM string op, not an interpreted per-word HOF fold (CLAUDE.md)
@@ -527,7 +550,7 @@ def gopher_quality_flags(documents: DataFrame,
     ok_symbols = n_symbols * 10 <= n_words
     ok_alpha = n_alpha * 5 >= n_words * 4
     ok_stops = n_stops >= 2
-    return documents.select(
+    return staged.select(
         "doc_id",
         n_words.alias("n_words"),
         mean_len_e4.alias("mean_word_len_e4"),

@@ -1913,7 +1913,13 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("int").alias("duration_ms"),
         F.encode(F.md5("media_ref"), "utf-8").alias("payload"),
     )
-    out = multimodal.media_spans_features(docs, media, fake=True)
+    # media is BUILT from the span-derived ref set above, so
+    # media_spans_features' semi-join against a second
+    # interleave+explode+distinct of the same documents is a relational
+    # identity — decode directly (r7: one spans pipeline per run, not
+    # two; the generic pruning operator stays covered by
+    # tests/test_multimodal.py's decoy-pruning pytest)
+    out = multimodal.decode_media(media, fake=True)
     # features are byte/256 float32 -> scale back to the exact byte ints
     # for a hashable, engine-neutral check column
     feat_csv = F.concat_ws(
