@@ -142,36 +142,41 @@ def interleave_documents(documents_flat: DataFrame) -> DataFrame:
     words = F.split(F.col("text"), " ")
     n_chunks = F.greatest(F.least(F.ceil(F.size(words) / 8), F.lit(6)), F.lit(1)).cast("int")
     chunk = F.sequence(F.lit(0), n_chunks - 1)
-    text_spans = F.transform(
-        chunk,
-        lambda i: F.struct(
+
+    def _text_span(i):
+        return F.struct(
             F.lit("text").alias("kind"),
             F.array_join(F.slice(words, i * 8 + 1, 8), " ").alias("text"),
             F.lit(None).cast("string").alias("media_ref"),
             (i * 2).cast("int").alias("offset"),
-        ),
-    )
-    # engine-neutral deterministic thinning (integer modular predicate —
-    # the same formula must be replayable in the DuckDB oracle)
-    media_idx = F.filter(
-        chunk,
-        lambda i: F.pmod(
-            F.col("doc_id").cast("long") * 31 + i.cast("long") * 17, F.lit(3)
-        ) == 0,
-    )
-    media_spans = F.transform(
-        media_idx,
-        lambda i: F.struct(
+        )
+
+    def _media_span(i):
+        return F.struct(
             F.lit("media").alias("kind"),
             F.lit(None).cast("string").alias("text"),
             F.concat(F.lit("media://"), F.col("doc_id").cast("string"),
                      F.lit("/"), i.cast("string")).alias("media_ref"),
             (i * 2 + 1).cast("int").alias("offset"),
-        ),
-    )
-    spans = F.array_sort(
-        F.concat(text_spans, media_spans),
-        lambda a, b: F.when(a.offset < b.offset, -1).when(a.offset > b.offset, 1).otherwise(0),
+        )
+
+    # engine-neutral deterministic thinning (integer modular predicate —
+    # the same formula must be replayable in the DuckDB oracle)
+    media_at = lambda i: F.pmod(  # noqa: E731
+        F.col("doc_id").cast("long") * 31 + i.cast("long") * 17, F.lit(3)
+    ) == 0
+    # offsets are text=2i / media=2i+1, so emitting [text_i, media_i?]
+    # per chunk index yields the offset-sorted sequence BY CONSTRUCTION
+    # — the old form concatenated two arrays and re-sorted them with a
+    # comparator lambda, which runs interpreted per element pair (r7;
+    # same span array, measured 0.63 s -> 0.53 s per consumer at sf0.1)
+    spans = F.flatten(
+        F.transform(
+            chunk,
+            lambda i: F.when(
+                media_at(i), F.array(_text_span(i), _media_span(i))
+            ).otherwise(F.array(_text_span(i))),
+        )
     )
     return documents_flat.select(
         F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans")
