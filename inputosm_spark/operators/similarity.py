@@ -829,11 +829,18 @@ def pca_power_component(
     bit-for-bit.
 
     Scale shape: the corpus is touched ONCE to build the d x d gram
-    matrix — a nested posexplode fan-out (d^2 narrow rows per vector,
-    NO self-join) into one map-side-combined aggregation; the gram
-    (d^2 <= 4096 rows) is cached and every power-iteration matvec is
-    a d-row join against it. The corpus never shuffles and never
-    crosses Arrow.
+    matrix — one Arrow pass whose kernel emits a d^2-row exact-int64
+    partial gram (V^T V) per batch into a map-side-combined
+    aggregation; the gram (d^2 <= 4096 rows) is cached and every
+    power-iteration matvec is a d-row join against it. The corpus
+    never shuffles (only d^2 partial rows per batch do). The r1-r6
+    nested-posexplode fan-out (d^2 narrow rows per VECTOR through an
+    interpreted transform) computed the identical sums 4x slower
+    (1.63 s -> 0.38 s at sf0.1); in-kernel int64 accumulation is
+    exact by range (|x| <= FP_SCALE so each product <= 1e12, and an
+    Arrow batch is <= 65536 rows -> |partial| <= 6.6e16 << 2^63),
+    and the Spark-side SUM keeps the same ANSI overflow contract the
+    explode form had.
 
     Exactness contract: inputs fix to FP_SCALE ints (the similarity
     convention); the gram is truncation-divided by 1e9 (`div`, which
@@ -856,13 +863,24 @@ def pca_power_component(
         lambda x: F.round(x.cast("double") * F.lit(FP_SCALE)).cast("long"),
     )
     rows = emb.select(xis.alias("__x"))
-    step1 = rows.select(F.posexplode("__x").alias("i", "xi"), F.col("__x"))
-    prods = step1.select(
-        "i",
-        F.posexplode(
-            F.transform("__x", lambda v: v * F.col("xi"))
-        ).alias("j", "prod"),
-    )
+
+    def _gram_partials(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["__x"].to_numpy()).astype(np.int64)
+            G = V.T @ V  # exact int64 (see docstring range argument)
+            dd = G.shape[0]
+            i, j = np.meshgrid(np.arange(dd), np.arange(dd), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": i.ravel().astype("int32"),
+                    "j": j.ravel().astype("int32"),
+                    "prod": G.ravel(),
+                }
+            )
+
+    prods = rows.mapInPandas(_gram_partials, "i int, j int, prod long")
     guard = F.assert_true(
         F.abs(F.col("gs")) <= F.lit(_PCA_GS_CAP),
         F.lit("pca_power_component: gram entry exceeds the exact-int64 "
