@@ -16,16 +16,35 @@ TPCH_TABLES = (
 ).split()
 
 
+#: (applicationId, abs sf_dir, table) -> DataFrame PLAN memo. A
+#: DataFrame is an immutable lazy plan: reusing the object skips the
+#: ~85 ms driver-side DataSource resolution + footer/schema read that
+#: `spark.read.parquet` pays per call (measured; the per-round bench
+#: re-built every table's read plan 4x per query), exactly like a
+#: catalog table's cached schema. NO data or results are cached —
+#: every execution still scans the parquet files. Safe because the
+#: testdata inputs are immutable by contract; keyed on applicationId
+#: so a restarted context never serves a dead session's plan.
+_READ_PLAN_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Dispatch by what exists: Iceberg table > parquet file > directory."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    hit = _READ_PLAN_MEMO.get(key)
+    if hit is not None:
+        return hit
     pq = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.exists(pq):
-        return spark.read.parquet(pq)
-    d = os.path.join(sf_dir, name)
-    if os.path.isdir(d):
-        return spark.read.parquet(d)
-    # fall through to a catalog table (Iceberg path when jar present)
-    return spark.read.table(name)
+        df = spark.read.parquet(pq)
+    elif os.path.isdir(os.path.join(sf_dir, name)):
+        df = spark.read.parquet(os.path.join(sf_dir, name))
+    else:
+        # catalog table (Iceberg path when jar present) — the catalog
+        # resolves its own metadata; don't memoize a mutable table
+        return spark.read.table(name)
+    _READ_PLAN_MEMO[key] = df
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
