@@ -5033,14 +5033,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inputosm_spark.operators import graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    edges = _copurchase_edges(li)
     labels = graph.label_propagation(edges, n_iter=3)
     # labels is checkpoint-severed (cheap RDD scan), so the size
     # rollup branch re-reads the materialized rounds, not the loop
