@@ -601,11 +601,14 @@ def incremental_dedup_pairs(
                 "doc_ids — supersede the old versions before probing"
             )
 
-    # each side feeds TWO consumers (its minhash aggregation and the
-    # unioned verify frame) — cache, or the normalize+explode pipeline
-    # runs twice per side (no cross-branch subplan sharing)
-    sh_new = word_shingles(new_batch, text_col=text_col, n=3).cache()
-    sh_old = word_shingles(history, text_col=text_col, n=3).cache()
+    # each side feeds two consumers (minhash + the unioned verify
+    # frame), but caching here measured a wash in interleaved A/B and
+    # slightly negative in tree-level bench pairs (r7): the extra
+    # materialization pass cancels the recompute saved, and
+    # jaccard_verify already caches the union it probes three times —
+    # so the sides stay uncached
+    sh_new = word_shingles(new_batch, text_col=text_col, n=3)
+    sh_old = word_shingles(history, text_col=text_col, n=3)
     nb = minhash_bands(
         minhash_signatures(sh_new, n_hashes), n_bands, rows_per_band
     ).withColumnRenamed("doc_id", "doc_a")
