@@ -510,14 +510,32 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # checkpointed label frames carry no size statistics, so without a
+    # hint every round sort-merge-joins — re-SORTING the whole
+    # symmetrized edge list per round. The (node, label) table is two
+    # longs per NODE; when its exact row count (cheap on the
+    # materialized RDD) fits the byte cap, broadcast it so each round
+    # is a map-side hash join over the partitioned sym (the
+    # triangle_counts sizing pattern). Past the cap — huge graphs —
+    # the sort-merge rounds are the correct plan and run unchanged.
+    conf_thr = _parse_size_bytes(
+        edges.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+    )
+    label_fits = (
+        lambda rows: conf_thr > 0
+        and rows * _EDGE_ROW_BYTES <= _CLOSING_BROADCAST_MAX_BYTES
+    )
     w = Window.partitionBy("node").orderBy(
         F.desc("c"), F.asc("label")
     )
     for _ in range(n_iter):
+        lab = labels.select(F.col("node").alias("s"), "label")
+        if label_fits(labels.count()):
+            lab = F.broadcast(lab)
         labels = (
-            sym.join(
-                labels.select(F.col("node").alias("s"), "label"), "s"
-            )
+            sym.join(lab, "s")
             .groupBy(F.col("d").alias("node"), "label")
             .agg(F.count("*").alias("c"))
             .withColumn("__rn", F.row_number().over(w))
