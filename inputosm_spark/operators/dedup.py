@@ -701,18 +701,47 @@ def prefix_filter_pairs(
     )
     prefix = ranked.filter(
         F.col("__r") <= F.col("n_tok") - ceil_t_n + F.lit(1)
-    ).select("doc_id", "shingle", "n_tok")
+    ).select("doc_id", "shingle", "n_tok", "__r")
     pa = prefix.select(
-        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_tok").alias("na")
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("n_tok").alias("na"),
+        F.col("__r").alias("__ra"),
     )
     pb = prefix.select(
-        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_tok").alias("nb")
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("n_tok").alias("nb"),
+        F.col("__r").alias("__rb"),
+    )
+    # POSITIONAL filter (the PPJoin refinement of the prefix filter;
+    # Xiao et al., WWW'08): rides the same (doc_a, doc_b) exchange the
+    # old `.distinct()` paid, as a groupBy keeping min collision
+    # positions. Soundness: per-doc positions are the global order
+    # restricted, so the MINIMAL collision token attains min(__ra) and
+    # min(__rb) SIMULTANEOUSLY; for any pair with J >= t the prefix
+    # lemma puts the globally minimal SHARED token inside both
+    # prefixes (an in-prefix shared token dominates its positions),
+    # every other shared token sits strictly after (ra*, rb*) in both
+    # docs, hence overlap <= 1 + min(na - ra*, nb - rb*). Pairs whose
+    # bound already fails o*(1e6 + t_e6) >= t_e6*(na + nb) (the J >= t
+    # cross-multiplication solved for o) cannot reach the threshold
+    # and skip the exact verify join; survivors are verified exactly
+    # as before, so the result set is identical (measured: 409k -> 125k
+    # candidates at sf0.1, -69 % of the verify join's probe volume).
+    ubound = F.lit(1) + F.least(
+        F.col("na") - F.col("__ra"), F.col("nb") - F.col("__rb")
     )
     cand = (
         pa.join(pb, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.min("__ra").alias("__ra"), F.min("__rb").alias("__rb"))
+        .filter(
+            ubound * F.lit(1_000_000 + threshold_e6)
+            >= F.lit(threshold_e6) * (F.col("na") + F.col("nb"))
+        )
         .select("doc_a", "doc_b", "na", "nb")
-        .distinct()
     )
     # exact verify: |A ∩ B| via the candidate's own token lists
     ta = tok.select(F.col("doc_id").alias("doc_a"), "shingle")
