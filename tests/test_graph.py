@@ -34,12 +34,46 @@ def test_components_long_path_converges(spark):
 def test_long_chain_converges_in_log_rounds(spark):
     """A 1000-node chain has diameter 999 — min-label propagation would
     need ~999 rounds; the large-star/small-star alternation must finish
-    in O(log n): max_iter=12 would RAISE if it didn't."""
+    in O(log n): max_iter=12 would RAISE if it didn't. The byte-cap
+    local finish is DISABLED (threshold=-1) so this exercises the
+    distributed rounds — the 100 TB path."""
     edges = [(i, i + 1) for i in range(1000)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r.node: r.component
-           for r in graph.connected_components(df, max_iter=12).collect()}
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got = {r.node: r.component
+               for r in graph.connected_components(df, max_iter=12).collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
     assert set(got.values()) == {0} and len(got) == 1001
+
+
+def test_local_finish_matches_distributed_rounds(spark):
+    """The byte-cap-gated one-task kernel finish must produce the
+    IDENTICAL label set as the distributed star rounds (gate disabled
+    via threshold=-1) on a graph mixing chains, merges and islands."""
+    edges = (
+        [(i, i + 1) for i in range(0, 40)]          # long chain
+        + [(100 + i, 100 + (i * 7) % 23) for i in range(23)]  # tangle
+        + [(500, 501), (502, 501), (503, 502)]       # small tree
+        + [(900, 901)]                               # island
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = sorted(
+        (r.node, r.component)
+        for r in graph.connected_components(df).collect()
+    )
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        dist = sorted(
+            (r.node, r.component)
+            for r in graph.connected_components(df).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+    assert local == dist and len(local) > 0
 
 
 def test_nonconvergence_raises(spark):
@@ -49,5 +83,12 @@ def test_nonconvergence_raises(spark):
 
     edges = [(i, i + 1) for i in range(64)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    with pytest.raises(RuntimeError, match="did not converge"):
-        graph.connected_components(df, max_iter=1)
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable the byte-cap local finish (it would legitimately
+        # solve 64 edges in one kernel task without any rounds)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            graph.connected_components(df, max_iter=1)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
