@@ -233,12 +233,18 @@ def pagerank(
     and the SQL twin states the same contract.
 
     Scale shape: the (edges JOIN outdeg) frame is loop-invariant —
-    built once, repartitioned by src and localCheckpoint-severed, so
-    each iteration is ONE src-shuffle of the narrow rank table + ONE
-    dst-aggregation; the edge list itself never re-shuffles. The
-    per-iteration frames are plain lazy plans (iters is small and
-    bounded; for deep iteration counts sever lineage per round like
-    connected_components does).
+    built once and CACHED (an InMemoryRelation preserves its child's
+    outputPartitioning; a checkpointed LogicalRDD reports
+    UnknownPartitioning and re-paid the exchanges every iteration —
+    the LPA lesson, r7). When the rank table fits the byte cap it is
+    broadcast per iteration and the cache is partitioned on the
+    AGGREGATION key dst, so each iteration runs with ZERO exchanges
+    (map-side join -> in-place dst aggregation -> broadcast the
+    aggregate onto the cached node table). Past the cap the cache
+    partitions on the join key src and iterations shuffle only the
+    narrow rank table — the 100 TB plan. The per-iteration frames are
+    plain lazy plans (iters is small and bounded; for deep iteration
+    counts sever lineage per round like connected_components does).
 
     Exactness bound (r5 ADVICE): both floor divisions run as doubles,
     exact (== the oracle's integer //) only while the dividend stays
@@ -255,22 +261,39 @@ def pagerank(
     """
     base = scale * (damping_den - damping_num) // damping_den
     # nodes feeds iters+1 plan branches (initial ranks + every
-    # iteration's left join): checkpoint-sever it like `ed` below, or
-    # each branch re-scans and re-distincts the edge list
+    # iteration's left join): cache it, or each branch re-scans and
+    # re-distincts the edge list
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .cache()
+    )
+    # the node count is loop-invariant (every node keeps exactly one
+    # rank row): one exact count drives the per-iteration broadcast
+    # gate and the cache partitioning key (the LPA sizing pattern)
+    n_nodes = nodes.count()
+    conf_thr = _parse_size_bytes(
+        edges.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+    )
+    rank_fits = (
+        conf_thr > 0
+        and n_nodes * _EDGE_ROW_BYTES <= _CLOSING_BROADCAST_MAX_BYTES
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
-    # loop-invariant: edges carrying their source out-degree, severed so
-    # every iteration reuses the materialized RDD instead of replanning
+    # loop-invariant: edges carrying their source out-degree, cached
+    # once so every iteration reuses the materialized columnar blocks
+    # AND their partitioning — on the aggregation key dst when ranks
+    # broadcast (zero-exchange iterations), on the join key src past
+    # the cap (iterations shuffle only the narrow rank table)
     ed = (
         edges.join(deg, "src")
-        .repartition(F.col("src"))
-        .localCheckpoint(eager=False)
+        .repartition(F.col("dst" if rank_fits else "src"))
+        .cache()
     )
+    _b = F.broadcast if rank_fits else (lambda df: df)
     rank_guard = F.assert_true(
         F.col("rank") < F.lit(1 << 53),
         F.lit(
@@ -290,7 +313,7 @@ def pagerank(
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for _ in range(iters):
         agg = (
-            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            ed.join(_b(ranks.withColumnRenamed("node", "src")), "src")
             .select(
                 "dst",
                 (
@@ -304,7 +327,7 @@ def pagerank(
             .agg(F.sum("__c").alias("__s"))
         )
         ranks = (
-            nodes.join(agg.withColumnRenamed("dst", "node"), "node", "left")
+            nodes.join(_b(agg.withColumnRenamed("dst", "node")), "node", "left")
             .select(
                 "node",
                 (

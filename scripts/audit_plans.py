@@ -121,10 +121,12 @@ CHECKS: dict[str, list[str]] = {
         r"Generate",
         r"ReadSchema: struct<doc_id:bigint,text:string>",
     ],
-    # pagerank: loop-invariant (edges x outdeg) is checkpoint-severed
-    # (ExistingRDD scan) so iterations reuse the materialized RDD;
-    # rank updates are map-side-combined aggregations
-    "pagerank": [r"HashAggregate", r"ExistingRDD"],
+    # pagerank: loop-invariant (edges x outdeg) is CACHED partitioned
+    # on the aggregation key (InMemoryTableScan — cache preserves
+    # outputPartitioning where a checkpoint does not, r7), so
+    # broadcast-gated iterations run exchange-free; rank updates are
+    # aggregations over the cached scan
+    "pagerank": [r"HashAggregate", r"InMemoryTableScan"],
     # segment intersection: equi-join on covering cells, like
     # box_overlap_join — never a theta/cross join (see ANTI)
     "segment_join": [r"Join"],
