@@ -5041,20 +5041,13 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inputosm_spark.operators import graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # NOT _copurchase_edges (r7): the pair-explode build materializes
-    # the symmetrized checkpoint 0.5 s faster, but its row order makes
-    # the per-round (d, label) aggregations ~0.7 s/round slower on
-    # rounds 2-3 (4 paired A/B runs) — net negative for LPA, unlike
-    # triangle_count/bfs_hops where edges checkpoint before any
-    # order-sensitive aggregation
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    # _copurchase_edges lost here in early r7 because the self-join
+    # build's row ORDER fed the per-round aggregations directly; the
+    # zero-exchange LPA rounds now aggregate a cache whose layout the
+    # repartition fixes, so the build's order no longer matters and
+    # the cheaper pair-explode build wins again (A/B best-of-4
+    # 3.63 -> 2.99 s, all reps better, identical labels)
+    edges = _copurchase_edges(li)
     labels = graph.label_propagation(edges, n_iter=3)
     # labels is checkpoint-severed (cheap RDD scan), so the size
     # rollup branch re-reads the materialized rounds, not the loop
