@@ -831,9 +831,10 @@ def pca_power_component(
     Scale shape: the corpus is touched ONCE to build the d x d gram
     matrix — one Arrow pass whose kernel emits a d^2-row exact-int64
     partial gram (V^T V) per batch into a map-side-combined
-    aggregation; the gram (d^2 <= 4096 rows) is cached and every
-    power-iteration matvec is a d-row join against it. The corpus
-    never shuffles (only d^2 partial rows per batch do). The r1-r6
+    aggregation; the power iteration then runs in ONE kernel task over
+    the contract-bounded d^2 rows (exact Python-int arithmetic — see
+    the inline note). The corpus never shuffles (only d^2 partial rows
+    per batch do). The r1-r6
     nested-posexplode fan-out (d^2 narrow rows per VECTOR through an
     interpreted transform) computed the identical sums 4x slower
     (1.63 s -> 0.38 s at sf0.1); in-kernel int64 accumulation is
@@ -892,26 +893,60 @@ def pca_power_component(
         .select("i", "j", F.expr("gsum div 1000000000").alias("gs"))
         .select("i", "j", (F.col("gs") + F.coalesce(guard.cast("long"),
                                                     F.lit(0))).alias("gs"))
-        .cache()
     )
-    # v0 = FP_SCALE * ones: the first matvec is just sum_j gs * 1e6
-    w = g.groupBy("i").agg(
-        F.sum(F.col("gs") * F.lit(FP_SCALE)).alias("w")
-    )
-    for _ in range(n_iter - 1):
-        m = w.agg(F.expr(f"greatest(1, max(abs(w)) div {FP_SCALE})").alias("s"))
-        v = w.crossJoin(m).select(
-            F.col("i").alias("j"), F.expr("w div s").alias("v")
+
+    # The power iteration itself runs over d^2 <= 4096 CONTRACT-BOUNDED
+    # gram rows: as Catalyst plans it was a parade of tiny-data
+    # aggregation/cross-join stages (each a scheduled exchange over a
+    # few dozen rows — pure fixed latency, ~3/4 of the query's wall at
+    # sf0.1). One grouped-map kernel task computes the identical chain
+    # with arbitrary-precision Python ints, replicating the
+    # truncation-division arithmetic step for step (div = round toward
+    # zero); the d^2 loop is bounded by the d x d contract, not by
+    # corpus size, and the in-plan |gs| guard still evaluates in the
+    # projection feeding the kernel. Values the ANSI int64 SUM would
+    # have errored on raise the same loud shard message here.
+    iters = n_iter
+
+    def _power_kernel(pdf):
+        ii = pdf["i"].tolist()
+        jj = pdf["j"].tolist()
+        gg = pdf["gs"].tolist()
+        dd = max(ii) + 1 if ii else 0
+        G = [[0] * dd for _ in range(dd)]
+        for a, b, val in zip(ii, jj, gg):  # d^2-bounded, not data-bound
+            G[a][b] = int(val)
+
+        def tdiv(a, b):  # truncation division (Spark/DuckDB `div`)
+            return -((-a) // b) if a < 0 else a // b
+
+        int64_max = (1 << 63) - 1
+
+        def checked(vals):
+            if any(abs(x) > int64_max for x in vals):
+                raise RuntimeError(
+                    "pca_power_component: matvec exceeds int64 — "
+                    "shard the corpus and add per-shard grams"
+                )
+            return vals
+
+        w = checked([sum(row) * FP_SCALE for row in G])
+        for _ in range(iters - 1):
+            s = max(1, max(abs(x) for x in w) // FP_SCALE) if w else 1
+            v = [tdiv(x, s) for x in w]
+            w = checked(
+                [sum(G[i][j] * v[j] for j in range(dd)) for i in range(dd)]
+            )
+        s = max(1, max(abs(x) for x in w) // FP_SCALE) if w else 1
+        v = [tdiv(x, s) for x in w]
+        sg = -1 if (v and -min(v) > max(v)) else 1
+        return pd.DataFrame(
+            {"dim_idx": pd.Series(range(dd), dtype="int32"),
+             "weight": pd.Series([x * sg for x in v], dtype="int64")}
         )
-        w = g.join(v, "j").groupBy("i").agg(
-            F.sum(F.col("gs") * F.col("v")).alias("w")
-        )
-    m = w.agg(F.expr(f"greatest(1, max(abs(w)) div {FP_SCALE})").alias("s"))
-    v = w.crossJoin(m).select("i", F.expr("w div s").alias("v"))
-    sgn = v.agg(
-        F.when(-F.min("v") > F.max("v"), -1).otherwise(1).alias("sg")
-    )
-    return v.crossJoin(sgn).select(
-        F.col("i").alias("dim_idx"),
-        (F.col("v") * F.col("sg")).cast("long").alias("weight"),
+
+    return (
+        g.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(_power_kernel, "dim_idx int, weight long")
     )

@@ -212,9 +212,11 @@ CHECKS: dict[str, list[str]] = {
     # spatial anti-join: matched ids probe as LEFT ANTI (never a
     # row-expanding join followed by a filter)
     "pip_anti_join": [r"LeftAnti"],
-    # PCA: cached gram feeds every matvec (InMemoryTableScan); the
-    # corpus itself is scanned once into the map-side-combined gram
-    "pca_component": [r"InMemoryTableScan", r"HashAggregate"],
+    # PCA: corpus scanned ONCE into the map-side-combined d^2 gram
+    # (HashAggregate over the Arrow kernel's partials); the power
+    # iteration is a single grouped-map kernel over the bounded gram
+    # (FlatMapGroupsInPandas), not a tiny-stage matvec parade (r7)
+    "pca_component": [r"HashAggregate", r"FlatMapGroupsInPandas"],
     # pivot plans as pre-agg on (day, type) + pivotfirst on day — both
     # map-side-combined, both shuffles carry only AGGREGATED rows
     "daily_type_pivot": [r"pivotfirst", r"partial_count"],
