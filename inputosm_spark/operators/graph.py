@@ -473,8 +473,13 @@ def triangle_counts(edges: DataFrame, degree_orient: bool = True) -> DataFrame:
     #   wedges partition by the closing key, AQE handles skew).
     if fits(n_edges):
         adj = edges.groupBy("u").agg(F.collect_list("v").alias("__nb"))
-        # same aliased plan on both sides: the broadcast exchange is
-        # built once and reused (ReusedExchange) for the v-side probe
+        # the aliased plans do NOT dedupe into a ReusedExchange (alias-
+        # scoped expr ids defeat canonicalized reuse) — measured r7:
+        # both adjacency aggregations run, in parallel within one
+        # stage, and that is still FASTER than caching the array-heavy
+        # adjacency rows once (interleaved A/B 2.98 vs 3.08 s: the
+        # cache's extra materialization costs more than the duplicate
+        # agg saves). Both builds stay byte-capped by fits(n_edges).
         au, av = adj.alias("au"), adj.alias("av")
         tri = (
             edges.alias("e")
