@@ -570,7 +570,11 @@ def bfs_hops(
     return visited
 
 
-def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame | None = None,
+    n_iter: int = 3,
+    sym_edges: DataFrame | None = None,
+) -> DataFrame:
     """Community detection via SYNCHRONOUS label propagation over an
     undirected edge list (u, v), canonical or not: `n_iter` fixed
     rounds, label(v) starts as v, and each round every node adopts the
@@ -591,6 +595,15 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     iteration count, no driver-side convergence polling: at 100 TB the
     round count is the budget knob, and synchronous LPA's known
     oscillation modes are bounded by it.
+
+    `sym_edges` (mutually exclusive with `edges`): a directed (s, d)
+    edge MULTISET whose DISTINCT set is the symmetrized graph —
+    callers that can fan out both directions cheaply (e.g. the
+    co-purchase basket explode) pass it so the dedup rides the
+    d-partitioned cache IN PLACE (hashpartitioning(d) satisfies the
+    (s, d) dedup's clustering) instead of paying a separate
+    corpus-wide distinct exchange before the symmetrize (A/B
+    best-of-4 3.32 -> 2.61 s at sf0.1).
     """
     # CACHE, not localCheckpoint: an InMemoryRelation PRESERVES its
     # child's outputPartitioning (a checkpointed LogicalRDD reports
@@ -602,21 +615,38 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     # the per-node ranking window — one in-place sort per round is all
     # that remains (guide §2.4; interleaved A/B best-of-4 4.76 ->
     # 3.74 s at sf0.1).
-    sym = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
-                    F.struct(F.col("v").alias("s"), F.col("u").alias("d")),
-                )
-            ).alias("e")
+    if (edges is None) == (sym_edges is None):
+        raise ValueError(
+            "label_propagation takes exactly one of edges / sym_edges"
         )
-        .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
-        .repartition(F.col("d"))
-        .cache()
-    )
+    if sym_edges is not None:
+        # multiset input: dedup runs IN PLACE on the d-partitioned
+        # cache (no extra exchange — see docstring)
+        sym = (
+            sym_edges.select("s", "d")
+            .repartition(F.col("d"))
+            .dropDuplicates(["s", "d"])
+            .cache()
+        )
+    else:
+        sym = (
+            edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+                        F.struct(F.col("v").alias("s"), F.col("u").alias("d")),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
+            .repartition(F.col("d"))
+            .cache()
+        )
+    # the node set from the PARTITIONING side d (symmetric graph:
+    # distinct d == distinct s) — the distinct runs in place on the
+    # cache instead of paying an exchange on s
     labels = (
-        sym.select(F.col("s").alias("node"))
+        sym.select(F.col("d").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
@@ -637,7 +667,7 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     # correct 100 TB plan, unchanged from round start.
     n_nodes = labels.count()
     conf_thr = _parse_size_bytes(
-        edges.sparkSession.conf.get(
+        sym.sparkSession.conf.get(
             "spark.sql.autoBroadcastJoinThreshold", "10485760"
         )
     )

@@ -5041,14 +5041,24 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inputosm_spark.operators import graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # _copurchase_edges lost here in early r7 because the self-join
-    # build's row ORDER fed the per-round aggregations directly; the
-    # zero-exchange LPA rounds now aggregate a cache whose layout the
-    # repartition fixes, so the build's order no longer matters and
-    # the cheaper pair-explode build wins again (A/B best-of-4
-    # 3.63 -> 2.99 s, all reps better, identical labels)
-    edges = _copurchase_edges(li)
-    labels = graph.label_propagation(edges, n_iter=3)
+    # The basket explode emits the DIRECTED pair multiset (u, x != u)
+    # directly — that IS the symmetrized edge multiset, so LPA's
+    # sym_edges path dedupes it in place on the d-partitioned cache
+    # instead of paying the canonical-edge distinct exchange AND the
+    # symmetrize fan-out (A/B best-of-4 vs the _copurchase_edges form:
+    # 3.32 -> 2.61 s, all reps better, identical labels). The early-r7
+    # row-order sensitivity is gone: the zero-exchange rounds read a
+    # cache whose layout the repartition fixes.
+    parts = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("__ps")
+    )
+    sym_raw = parts.select(
+        F.explode("__ps").alias("s"), F.col("__ps")
+    ).select(
+        "s",
+        F.explode(F.filter("__ps", lambda x: x != F.col("s"))).alias("d"),
+    )
+    labels = graph.label_propagation(sym_edges=sym_raw, n_iter=3)
     # labels is checkpoint-severed (cheap RDD scan), so the size
     # rollup branch re-reads the materialized rounds, not the loop
     sizes = labels.groupBy("label").agg(

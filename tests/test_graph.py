@@ -92,3 +92,39 @@ def test_nonconvergence_raises(spark):
             graph.connected_components(df, max_iter=1)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+
+
+def test_lpa_sym_edges_multiset_matches_edges_path(spark):
+    """The sym_edges MULTISET path (in-place dedup on the partitioned
+    cache) must produce the identical labels as the canonical
+    undirected-edges path — duplicates in the multiset must not skew
+    any round's vote counts."""
+    from pyspark.sql import functions as F
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (2, 4)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    base = {
+        (r.node, r.label)
+        for r in graph.label_propagation(df, n_iter=3).collect()
+    }
+    # directed multiset with heavy duplication of every edge
+    sym = (
+        df.selectExpr("u as s", "v as d")
+        .unionAll(df.selectExpr("v as s", "u as d"))
+    )
+    sym = sym.unionAll(sym).unionAll(sym)  # x3 duplicates
+    got = {
+        (r.node, r.label)
+        for r in graph.label_propagation(sym_edges=sym, n_iter=3).collect()
+    }
+    assert got == base and len(got) == 8
+
+
+def test_lpa_requires_exactly_one_input(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], "u long, v long")
+    with pytest.raises(ValueError, match="exactly one"):
+        graph.label_propagation(df, 3, df.selectExpr("u as s", "v as d"))
+    with pytest.raises(ValueError, match="exactly one"):
+        graph.label_propagation()
