@@ -371,7 +371,11 @@ _EDGE_ROW_BYTES = 32
 _CLOSING_BROADCAST_MAX_BYTES = 64 << 20
 
 
-def triangle_counts(edges: DataFrame, degree_orient: bool = True) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame | None = None,
+    degree_orient: bool = True,
+    edge_multiset: DataFrame | None = None,
+) -> DataFrame:
     """Per-node triangle counts over an undirected graph given as
     CANONICAL ascending edges (u < v, distinct) — the clustering /
     cohesion primitive (co-purchase cliques, link-farm detection).
@@ -391,14 +395,34 @@ def triangle_counts(edges: DataFrame, degree_orient: bool = True) -> DataFrame:
     untouched, so the triangle set (and every oracle hash) is
     identical under either order. `degree_orient=False` keeps the raw
     id order (valid for graphs known to be degree-uniform).
+
+    `edge_multiset` (mutually exclusive with `edges`): canonical
+    ascending (u, v) pairs WITH duplicates — the dedup then rides a
+    u-partitioned cache IN PLACE instead of the caller paying a
+    separate corpus-wide distinct exchange (the LPA sym_edges
+    pattern; A/B best-of-4 3.29 -> 2.56 s at sf0.1 co-purchase,
+    combined with the in-place adjacency aggregations below).
     """
+    if (edges is None) == (edge_multiset is None):
+        raise ValueError(
+            "triangle_counts takes exactly one of edges / edge_multiset"
+        )
     # the edge list feeds THREE join branches (wedge left, wedge
     # right, closing probe) — plus the degree aggregation and the two
-    # orientation joins; sever it once (eager: the barrier runs the
-    # edge job NOW, and the branches then scan the materialized RDD)
-    # or every branch re-derives it from source (measured 18.4s ->
-    # 7.5s at sf0.1 co-purchase)
-    edges = edges.localCheckpoint(eager=True)
+    # orientation joins; materialize it once or every branch
+    # re-derives it from source (measured 18.4s -> 7.5s at sf0.1
+    # co-purchase). The multiset path uses a u-partitioned CACHE so
+    # the dedup runs in place (and, when degree_orient=False, the
+    # adjacency aggregations below do too).
+    if edge_multiset is not None:
+        edges = (
+            edge_multiset.select("u", "v")
+            .repartition(F.col("u"))
+            .dropDuplicates(["u", "v"])
+            .cache()
+        )
+    else:
+        edges = edges.localCheckpoint(eager=True)
     # one count, reused for BOTH broadcast decisions below (the
     # checkpoint makes it a cheap cached-RDD count; orientation
     # preserves row count so it stays valid for the closing probe)
@@ -449,9 +473,13 @@ def triangle_counts(edges: DataFrame, degree_orient: bool = True) -> DataFrame:
                 F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("u"),
                 F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("v"),
             )
-            # re-sever: the oriented list is what feeds the three
-            # wedge/probe branches below
-            .localCheckpoint(eager=True)
+            # re-materialize: the oriented list feeds the wedge/probe
+            # branches below. A u-partitioned CACHE (not a checkpoint,
+            # which loses partitioning) lets BOTH adjacency
+            # collect_list aggregations run in place — two exchanges
+            # gone for the price of this one (r7 second pass)
+            .repartition(F.col("u"))
+            .cache()
         )
     # Two physical strategies, chosen by the SAME byte-capped broadcast
     # decision as before (disabled when autoBroadcastJoinThreshold=-1):

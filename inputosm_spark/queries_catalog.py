@@ -4342,9 +4342,21 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inputosm_spark.operators import graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = _copurchase_edges(li)
+    # canonical-pair MULTISET straight from the basket explode: the
+    # operator dedupes it in place on its u-partitioned cache (the
+    # LPA sym_edges pattern) instead of paying the distinct exchange
+    # here (A/B best-of-4 3.29 -> 2.56 s, identical top-50)
+    parts = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("__ps")
+    )
+    pairs = parts.select(
+        F.explode("__ps").alias("u"), F.col("__ps")
+    ).select(
+        "u",
+        F.explode(F.filter("__ps", lambda x: x > F.col("u"))).alias("v"),
+    )
     return (
-        graph.triangle_counts(edges)
+        graph.triangle_counts(edge_multiset=pairs)
         .orderBy(F.desc("n_tri"), "node")
         .limit(50)
     )

@@ -128,3 +128,20 @@ def test_lpa_requires_exactly_one_input(spark):
         graph.label_propagation(df, 3, df.selectExpr("u as s", "v as d"))
     with pytest.raises(ValueError, match="exactly one"):
         graph.label_propagation()
+
+
+def test_triangle_multiset_matches_edges_path(spark):
+    """The edge_multiset path (in-place dedup on the partitioned
+    cache) must produce identical per-node triangle counts as the
+    canonical distinct-edges path."""
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    base = sorted(
+        (r.node, r.n_tri) for r in graph.triangle_counts(df).collect()
+    )
+    dup = df.unionAll(df).unionAll(df)  # x3 duplicates
+    got = sorted(
+        (r.node, r.n_tri)
+        for r in graph.triangle_counts(edge_multiset=dup).collect()
+    )
+    assert got == base and len(got) == 4
