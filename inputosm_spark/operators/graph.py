@@ -164,11 +164,6 @@ def connected_components(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
     nodes = raw.select("u").unionAll(raw.select(F.col("v").alias("u"))).distinct()
-    e = (
-        raw.filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     conf_thr = _parse_size_bytes(
         edges.sparkSession.conf.get(
             "spark.sql.autoBroadcastJoinThreshold", "10485760"
@@ -178,29 +173,53 @@ def connected_components(
         lambda rows: conf_thr > 0
         and rows * _EDGE_ROW_BYTES <= _CLOSING_BROADCAST_MAX_BYTES
     )
-    converged = False
-    n_prev = e.count()
-    for _ in range(max_iter):
-        if fits(n_prev):
-            break  # the local kernel finishes from here
-        new_e = _cc_round(e).localCheckpoint(eager=True)
-        n_new = new_e.count()
-        # both sides are distinct sets, so equal counts + empty
-        # exceptAll == set equality (the exact check only runs on
-        # count-stable rounds)
-        same = n_new == n_prev and new_e.exceptAll(e).limit(1).count() == 0
-        e, n_prev = new_e, n_new
-        if same:
-            converged = True
-            break
-    if not converged:
-        if not fits(n_prev):
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} rounds"
-            )
+    # the LOCAL path gates on the RAW count and skips the input
+    # `.distinct()` entirely — connectivity is multiplicity-invariant
+    # and the kernel's scatter-min is idempotent, so duplicates cost
+    # nothing while the distinct's exchange + checkpoint + count cost
+    # two jobs (A/B: dbscan 1.49 -> 1.36, dedup_clusters 1.28 -> 1.18).
+    # raw >= distinct rows, so the gate errs only toward the
+    # distributed path (a performance choice, never correctness).
+    n_raw = raw.count()
+    if fits(n_raw):
         # labels + roots both consume the star set: checkpoint so the
         # kernel runs once, exactly as the loop's fixpoint frame was
-        e = _cc_local_star(e).localCheckpoint(eager=True)
+        e = _cc_local_star(
+            raw.filter(F.col("u") != F.col("v"))
+        ).localCheckpoint(eager=True)
+    else:
+        # distributed rounds need the distinct (set-based fixpoint
+        # check + lean rounds)
+        e = (
+            raw.filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = False
+        n_prev = e.count()
+        for _ in range(max_iter):
+            if fits(n_prev):
+                break  # the local kernel finishes from here
+            new_e = _cc_round(e).localCheckpoint(eager=True)
+            n_new = new_e.count()
+            # both sides are distinct sets, so equal counts + empty
+            # exceptAll == set equality (the exact check only runs on
+            # count-stable rounds)
+            same = (
+                n_new == n_prev
+                and new_e.exceptAll(e).limit(1).count() == 0
+            )
+            e, n_prev = new_e, n_new
+            if same:
+                converged = True
+                break
+        if not converged:
+            if not fits(n_prev):
+                raise RuntimeError(
+                    f"connected_components did not converge in "
+                    f"{max_iter} rounds"
+                )
+            e = _cc_local_star(e).localCheckpoint(eager=True)
     # fixpoint edges are (child, root) stars; roots appear only as v
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = (

@@ -145,3 +145,13 @@ def test_triangle_multiset_matches_edges_path(spark):
         for r in graph.triangle_counts(edge_multiset=dup).collect()
     )
     assert got == base and len(got) == 4
+
+
+def test_components_duplicate_edges_local_path(spark):
+    """The local-finish path takes RAW (possibly duplicated) edges —
+    connectivity must be unaffected by multiplicity or self-loops."""
+    edges = [(1, 2), (2, 1), (1, 2), (3, 3), (3, 4), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component
+           for r in graph.connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}
