@@ -39,6 +39,12 @@ from pyspark.sql.types import (
 from inputosm_spark import geo
 from inputosm_spark.functions import cells
 
+#: (applicationId, semanticHash of the prepared point plan) ->
+#: (n_points, approx occupied cells): the kNN auto-ring PLAN-CHOICE
+#: statistic (see knn_join) — immutable input, performance-only
+#: decision, applicationId-fenced; no query results are cached.
+_DENSITY_MEMO: dict[tuple[str, int], tuple[int, int]] = {}
+
 # ---------------------------------------------------------------------------
 # polygon covering cells (polyfill) — Arrow UDF over numpy
 # ---------------------------------------------------------------------------
@@ -281,13 +287,26 @@ def knn_join(
         # ring whose (2r+1)^2 cells are expected to hold ~2k points,
         # skipping escalation rounds that predictably come up short
         # (clustered data makes the occupied-cell average the right
-        # density, not the whole-world one)
-        stats = pts.agg(
-            F.count("*").alias("n"),
-            F.approx_count_distinct("__cell", 0.05).alias("c"),
-        ).first()
-        if stats.n and stats.c:
-            per_cell = max(stats.n / stats.c, 1e-9)
+        # density, not the whole-world one). The statistic is a
+        # PLAN-CHOICE input over an immutable point plan (the ring
+        # schedule only changes how the exact answer is found — the
+        # k-th-distance bound proves exactness at every ring), so it
+        # is memoized per (applicationId, semanticHash) like the
+        # partition probe: the ~0.3 s driver job runs once per
+        # distinct point plan, never per invocation. No results are
+        # cached.
+        sc = pts.sparkSession.sparkContext
+        key = (sc.applicationId, pts.semanticHash())
+        st = _DENSITY_MEMO.get(key)
+        if st is None:
+            stats = pts.agg(
+                F.count("*").alias("n"),
+                F.approx_count_distinct("__cell", 0.05).alias("c"),
+            ).first()
+            st = (stats.n or 0, stats.c or 0)
+            _DENSITY_MEMO[key] = st
+        if st[0] and st[1]:
+            per_cell = max(st[0] / st[1], 1e-9)
             import math
 
             ring = max(1, math.ceil((math.sqrt(2 * k / per_cell) - 1) / 2))
